@@ -160,9 +160,14 @@ def statements_to_documents(
     order == log order within a timestamp tie."""
     rng = random.Random(seed)
     rows = []
+    host = _HOSTS[0]
     for seq, s in enumerate(stmts):
         ts = start + timedelta(seconds=seq // burst)
-        host = _HOSTS[rng.randrange(len(_HOSTS))]
+        if seq % burst == 0:
+            # one host per same-second burst: keeps (warc_ts, url) order
+            # equal to statement order (the documents-mode log order per
+            # BASELINE.json input_hint) while still skewing hosts
+            host = _HOSTS[rng.randrange(len(_HOSTS))]
         # trailing-space padding like artifacts/redo_log.txt:1-2
         text = f"{s.statement}".ljust(len(s.statement) + seq % 3) + "\n" + (
             f"{s.row_id} {' ' * (seq % 2)}{_fmt_ts(ts)}".ljust(80)

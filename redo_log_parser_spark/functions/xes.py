@@ -1,0 +1,92 @@
+"""P8-P10 — XES event naming, timestamp formatting, XML templating
+(TraceIDParser.scala:97-160). Pure built-in column expressions — the
+whole XES rendering stays inside whole-stage codegen; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def xes_timestamp(ts: Column) -> Column:
+    """TraceIDParser.scala:131-139: ISO instant with seconds always
+    present and a fixed '.000+00:00' suffix. date_format always emits
+    seconds, which matches the reference's ':00'-padding branch."""
+    return F.concat(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".000+00:00")
+    )
+
+
+def xes_event_name(include_update_values: bool = False) -> Column:
+    """TraceIDParser.scala:122-129 event-name templates, as a when-chain
+    over the routed op column."""
+    add = F.concat(F.lit("Add "), F.col("table_id"), F.lit(" entity"))
+    upd_base = F.concat(
+        F.lit("Update "),
+        F.col("upd_attr"),
+        F.lit(" value of "),
+        F.col("table_id"),
+        F.lit(" entity"),
+    )
+    upd = (
+        F.concat(upd_base, F.lit(" to "), F.col("upd_new"))
+        if include_update_values
+        else upd_base
+    )
+    delete = F.concat(F.lit("Delete entity from "), F.col("table_id"))
+    return (
+        F.when(F.col("op") == "insert", add)
+        .when(F.col("op") == "update", upd)
+        .otherwise(delete)
+    )
+
+
+def xml_escape_attr(c: Column) -> Column:
+    """XML attribute escaping via a replace chain (& first)."""
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+    return c
+
+
+def with_xes_columns(events: DataFrame, include_update_values: bool = False) -> DataFrame:
+    return events.withColumn(
+        "event_name", xes_event_name(include_update_values)
+    ).withColumn("xes_ts", xes_timestamp(F.col("ts")))
+
+
+def trace_xml(traces: DataFrame) -> DataFrame:
+    """(case_id, events:array<struct<event_name,xes_ts>>) →
+    (case_id, trace_xml:string): one canonical single-line <trace>
+    element per case (TraceIDParser.scala:101-146)."""
+    event_xml = F.transform(
+        F.col("events"),
+        lambda e: F.concat(
+            F.lit('<event><string key="concept:name" value="'),
+            xml_escape_attr(e["event_name"]),
+            F.lit('"/><date key="time:timestamp" value="'),
+            e["xes_ts"],
+            F.lit('"/></event>'),
+        ),
+    )
+    return traces.select(
+        "case_id",
+        F.concat(
+            F.lit("<trace>"), F.array_join(event_xml, ""), F.lit("</trace>")
+        ).alias("trace_xml"),
+    )
+
+
+XES_LOG_HEADER = (
+    '<log xes.version="2.0" xmlns="http://www.xes-standard.org/">'
+    '<extension name="Time" prefix="time" uri="http://www.xes-standard.org/time.xesext"/>'
+    '<extension name="Concept" prefix="concept" uri="http://www.xes-standard.org/concept.xesext"/>'
+)
+
+
+def xes_log_header(root_table: str) -> str:
+    """Log element header with concept:name = <root>_XES_Log
+    (TraceIDParser.scala:104-111)."""
+    return XES_LOG_HEADER + f'<string key="concept:name" value="{root_table}_XES_Log"/>'

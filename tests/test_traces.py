@@ -1,0 +1,118 @@
+"""J1-J3, G3-G4, P8-P10 — trace assembly and XES output must match the
+oracle end-to-end on the mini-log for multiple root classes."""
+
+import pytest
+
+from redo_log_parser_spark import oracle
+from redo_log_parser_spark.functions.parse import parse_documents
+from redo_log_parser_spark.functions.xes import trace_xml, with_xes_columns, xes_log_header
+from redo_log_parser_spark.operators.rowid import uniquify_row_ids
+from redo_log_parser_spark.operators.schema_discovery import (
+    discover_schema,
+    summarize_schema,
+)
+from redo_log_parser_spark.operators.traces import (
+    assign_entries,
+    collect_traces,
+    entity_edges,
+    propagate_cases,
+    root_cases,
+)
+
+
+@pytest.fixture(scope="module")
+def spark_events(spark, mini_docs):
+    return uniquify_row_ids(parse_documents(mini_docs)).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle_state(mini_docs_pdf):
+    entries = oracle.uniquify_row_ids(
+        oracle.parse_records(list(mini_docs_pdf["text"]))
+    )
+    schema = oracle.extract_schema(entries)
+    return entries, schema
+
+
+@pytest.fixture(scope="module")
+def spark_schema(spark_events):
+    cols_df, ind_df = discover_schema(spark_events)
+    return summarize_schema(cols_df, ind_df)
+
+
+def test_entity_edges_match_oracle(spark_events, spark_schema, oracle_state):
+    entries, schema = oracle_state
+    want = oracle.entity_edges(entries, schema)
+    got = {
+        (r["left_table"], r["left_row"], r["right_table"], r["right_row"])
+        for r in entity_edges(spark_events, spark_schema).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("root", ['"SYSTEM"."ORDERS"', '"SYSTEM"."USERS"'])
+def test_traces_match_oracle(spark_events, spark_schema, oracle_state, root):
+    entries, schema = oracle_state
+
+    edges = entity_edges(spark_events, spark_schema)
+    roots = root_cases(spark_events, root)
+    assignments = propagate_cases(edges, roots, spark_schema, root)
+    assigned = with_xes_columns(assign_entries(spark_events, assignments))
+    traces = collect_traces(assigned)
+    got = {
+        r["case_id"]: [(e["event_name"], e["xes_ts"]) for e in r["events"]]
+        for r in traces.collect()
+    }
+
+    want_buckets = oracle.build_traces(entries, schema, root)
+    # oracle buckets are indexed by root-entity first appearance; our
+    # case_id is the root entity's row id — rebuild the same keying
+    seen = {}
+    for e in entries:
+        if e.table_id.lower() == root.lower() and e.row_id not in seen:
+            seen[e.row_id] = len(seen)
+    by_rid = {rid: want_buckets[idx] for rid, idx in seen.items()}
+    want = {
+        rid: [
+            (oracle.xes_event_name(e), oracle.xes_timestamp(e.ts)) for e in trace
+        ]
+        for rid, trace in by_rid.items()
+    }
+    assert got == want
+
+
+def test_trace_xml_matches_oracle(spark_events, spark_schema, oracle_state):
+    entries, schema = oracle_state
+    root = '"SYSTEM"."ORDERS"'
+    edges = entity_edges(spark_events, spark_schema)
+    roots = root_cases(spark_events, root)
+    assignments = propagate_cases(edges, roots, spark_schema, root)
+    assigned = with_xes_columns(assign_entries(spark_events, assignments))
+    got = {
+        r["case_id"]: r["trace_xml"]
+        for r in trace_xml(collect_traces(assigned)).collect()
+    }
+
+    want_buckets = oracle.build_traces(entries, schema, root)
+    seen = {}
+    for e in entries:
+        if e.table_id.lower() == root.lower() and e.row_id not in seen:
+            seen[e.row_id] = len(seen)
+    want = {
+        rid: oracle.xes_trace_xml(want_buckets[idx]) for rid, idx in seen.items()
+    }
+    assert got == want
+    assert xes_log_header("ORDERS").startswith('<log xes.version="2.0"')
+
+
+def test_multi_membership(spark_events, spark_schema):
+    """A shared USERS entity must appear in every trace of the orders that
+    reference it (TraceIDParserHelper.scala:43-59 one-to-many fan-out)."""
+    root = '"SYSTEM"."ORDERS"'
+    edges = entity_edges(spark_events, spark_schema)
+    roots = root_cases(spark_events, root)
+    assignments = propagate_cases(edges, roots, spark_schema, root)
+    user_assign = assignments.filter(assignments["table_id"] == '"SYSTEM"."USERS"')
+    per_user = user_assign.groupBy("row_id").count().collect()
+    # 70 orders over 41 users: some users serve >= 2 order cases
+    assert any(r["count"] >= 2 for r in per_user)

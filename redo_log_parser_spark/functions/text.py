@@ -1,0 +1,94 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions (JVM-side, whole-stage codegen) —
+deliberately SQL-expressible so every one has a DuckDB oracle in the
+driver's correctness gate. Heuristics are deterministic and simple by
+design: at 10^12 documents the cost model matters more than marginal
+accuracy, and each function is a single narrow projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic marker dictionaries (stopword-style) per language
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "des"],
+    "es": ["el", "los", "las", "es", "una", "que", "de", "por"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored proxy: word-piece count estimated as words plus one
+    extra piece per 6 chars of long words (deterministic, regex-only)."""
+    words = tokens(text)
+    pieces = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.lit(1) + F.floor(F.length(w) / F.lit(6)).cast("int"),
+    )
+    return pieces
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of marker-word hits; ties resolved in fixed key order; no
+    hits at all → 'und' (undetermined)."""
+    hits = {lang: marker_hits(text, ms) for lang, ms in LANG_MARKERS.items()}
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang in LANG_MARKERS:  # fixed order => deterministic tie-break
+        is_better = hits[lang] > best_n
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(is_better, hits[lang]).otherwise(best_n)
+    return best_lang
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column, markers: list[str] | None = None) -> Column:
+    ms = markers or LANG_MARKERS["en"]
+    n = token_count(text)
+    return F.when(n > 0, marker_hits(text, ms) / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length sweet spot, low punctuation,
+    presence of function words. Rounded to 6dp for cross-engine equality."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    return F.round(
+        len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3, 6
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Stable content fingerprint: md5 of whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)

@@ -71,11 +71,9 @@ def trace_xml(traces: DataFrame) -> DataFrame:
             F.lit('"/></event>'),
         ),
     )
-    return traces.select(
-        "case_id",
-        F.concat(
-            F.lit("<trace>"), F.array_join(event_xml, ""), F.lit("</trace>")
-        ).alias("trace_xml"),
+    return traces.withColumn(
+        "trace_xml",
+        F.concat(F.lit("<trace>"), F.array_join(event_xml, ""), F.lit("</trace>")),
     )
 
 

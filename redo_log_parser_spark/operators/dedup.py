@@ -1,0 +1,286 @@
+"""Deduplication operators for training-data pipelines at corpus scale.
+
+Five families, each picked for a different scale/recall trade-off:
+
+  exact_dedup        hash-groupBy on a normalized fingerprint; one
+                     shuffle, no pairs materialized. The 100 TB default.
+  ngram_jaccard      exact pairwise Jaccard over word n-gram shingles,
+                     via an inverted-index self-join (only docs sharing
+                     a shingle ever meet — never a cross join).
+  minhash_lsh        MinHash signatures + banded LSH: candidate pairs
+                     come from band-bucket joins, verified with true
+                     Jaccard. Sub-quadratic; the web-scale near-dup path.
+  simhash            64-bit SimHash fingerprints + Hamming-band blocking.
+  embedding_cosine   near-dup by cosine of an embedding column (see
+                     operators/similarity.py for the ANN machinery).
+
+All hashing is xxhash64 with integer seeds — deterministic across runs,
+partitions and cluster sizes (required for checkpoint-resume idempotence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.text import doc_fingerprint, tokens
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per normalized-content fingerprint.
+    min-aggregation, not a window: one partial+final agg, no sort."""
+    fp = docs.select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return keep.select(id_col, "fingerprint")
+
+
+def duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_dups, doc_ids) for groups with more than one doc."""
+    fp = docs.select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    Built with array expressions (no UDF): slide a window of n over the
+    token array."""
+    toks = tokens(F.lower(F.col(text_col)))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard over n-gram shingle sets via inverted index:
+    (id_a, id_b, jaccard) for unordered pairs ≥ threshold.
+
+    Shuffle profile: one explode + distinct, one self-equi-join on
+    shingle (docs that share no shingle never pair), one pair-count agg.
+    Hot shingles fan out quadratically — at corpus scale drop top-df
+    shingles first (`max_df` knob)."""
+    sh = shingles(docs, n, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 64, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MinHash over n-gram shingles.
+    Each hash k is xxhash64(seed=k) of the shingle; min per doc. The agg
+    computes all K minima in ONE pass (array of conditional mins), so the
+    cost is a single groupBy regardless of K."""
+    sh = shingles(docs, n, id_col, text_col)
+    hashed = sh.select(
+        id_col,
+        F.array(
+            *[F.xxhash64(F.lit(k), F.col("shingle")) for k in range(num_hashes)]
+        ).alias("hs"),
+    )
+    mins = hashed.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.col("hs")[k]) for k in range(num_hashes)]
+        ).alias("sig")
+    )
+    return mins
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on any full band
+    become candidate pairs (id_a < id_b, distinct)."""
+    n_hashes_col = F.size("sig")
+    rows_per_band = (n_hashes_col / bands).cast("int")
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, num_hashes: int = 64, bands: int = 16, n: int = 3,
+    threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (inverted-index counts
+    restricted to the candidate set via semi-joins)."""
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    cand = minhash_lsh_candidates(sigs, bands, id_col).cache()
+    sh = shingles(docs, n, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed(id_col, "id_a").join(
+        cand.select("id_a").distinct(), "id_a", "left_semi"
+    )
+    b = sh.withColumnRenamed(id_col, "id_b").join(
+        cand.select("id_b").distinct(), "id_b", "left_semi"
+    )
+    common = (
+        a.join(b, "shingle")
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per token a 64-bit hash votes ±1 on each bit;
+    fingerprint bit i is the sign of the vote sum. Computed with array
+    expressions over the exploded token frame — one groupBy, no UDF.
+
+    (doc_id, simhash: bigint)"""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    h = tok.withColumn("h", F.xxhash64("tok"))
+    # 64 per-bit ±1 vote columns (bit index is compile-time constant, so
+    # plain Python loops build the projection; codegen fuses it all)
+    votes = h.select(
+        id_col,
+        *[
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(64)]
+    )
+    fp_col = None
+    for i in range(64):
+        # shiftleft keeps i=63 in signed-long range (sign bit)
+        bit = F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp_col = bit if fp_col is None else fp_col + bit
+    return summed.select(id_col, fp_col.alias("simhash"))
+
+
+def simhash_near_dups(
+    fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Blocked Hamming search: split the 64-bit fingerprint into
+    max_hamming+1 bands — any pair within distance max_hamming agrees on
+    at least one full band (pigeonhole), so candidates come from band
+    equi-joins; verified with bit_count(xor)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,124 @@
+"""End-to-end batch pipeline: parse → enrich → route → aggregate.
+
+Mirrors the reference CLI run (cli/Main.scala:103-155) re-planned for
+Spark (SURVEY.md §3.1):
+
+  1. parse          pandas-UDF kernel over documents.text (html pruned)
+  2. uniquify       ROWID incarnation window
+  3. enrich         broadcast dictionary joins (table names, lang names)
+  4. route          fan-out sinks by op + rejects (single pass)
+  5. discover       schema aggregates → driver summary (small)
+  6. traces         entity edges → case propagation → salted collect
+  7. serialize      per-trace XES XML strings → sink
+  8. lineage        per-bucket metrics + resumable manifest
+
+Steps 1-4 are embarrassingly parallel over url-hash buckets; 5-7 shuffle
+on (table,col,row) / value / case keys. The parsed frame is cached once
+and feeds both the routing write and the aggregates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig, DEFAULT_CONFIG
+from .functions.parse import parse_documents
+from .functions.xes import trace_xml, with_xes_columns
+from .operators.rowid import uniquify_row_ids
+from .operators.schema_discovery import discover_schema, summarize_schema, SchemaSummary
+from .operators.traces import (
+    assign_entries,
+    collect_traces,
+    entity_edges,
+    propagate_cases,
+    root_cases,
+)
+from .sinks.fanout import write_fanout
+
+
+def enrich(events: DataFrame, table_dict: DataFrame | None = None,
+           lang_map: DataFrame | None = None) -> DataFrame:
+    """J4 — broadcast lookup joins (BASELINE.json north_star: schema /
+    table-name dictionaries, lang maps). Dimensions are small by
+    construction → forced broadcast, no shuffle of the event stream."""
+    out = events
+    if table_dict is not None:
+        out = out.join(F.broadcast(table_dict), "table_id", "left")
+    if lang_map is not None and "lang" in out.columns:
+        out = out.join(F.broadcast(lang_map), "lang", "left")
+    return out
+
+
+@dataclass
+class PipelineResult:
+    routed_counts: dict[str, int] = field(default_factory=dict)
+    schema: SchemaSummary | None = None
+    n_traces: int = 0
+    out_dir: str = ""
+
+
+def build_traces_df(
+    events: DataFrame, schema: SchemaSummary, root_table: str,
+    include_update_values: bool = False, n_salt: int = 16,
+) -> DataFrame:
+    """Steps 6-7 as a reusable plan: (case_id, events, trace_xml)."""
+    edges = entity_edges(events, schema)
+    roots = root_cases(events, root_table)
+    assignments = propagate_cases(edges, roots, schema, root_table)
+    assigned = with_xes_columns(
+        assign_entries(events, assignments), include_update_values
+    )
+    traces = collect_traces(assigned, n_salt=n_salt)
+    return trace_xml(traces)
+
+
+def run_pipeline(
+    docs: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    table_dict: DataFrame | None = None,
+    lang_map: DataFrame | None = None,
+    write_sinks: bool = True,
+) -> PipelineResult:
+    """Full run over a documents frame. Root class comes from cfg
+    (replacing the reference's interactive prompt, cli/package.scala:73-86);
+    when None, trace assembly is skipped (schema-only run)."""
+    result = PipelineResult(out_dir=out_dir)
+
+    parsed = parse_documents(docs, cfg)
+    events = uniquify_row_ids(parsed).cache()
+    enriched = enrich(events, table_dict, lang_map)
+
+    if write_sinks:
+        result.routed_counts = write_fanout(enriched, out_dir)
+
+    clean = enriched.filter(F.col("parse_error").isNull())
+    cols_df, ind_df = discover_schema(clean)
+    result.schema = summarize_schema(cols_df, ind_df)
+
+    if cfg.root_class is not None:
+        tables_lc = {t.lower() for t in result.schema.tables}
+        if cfg.root_class.lower() not in tables_lc:
+            raise ValueError(
+                f"root class {cfg.root_class!r} not in discovered schema "
+                f"{sorted(result.schema.tables)}"
+            )
+        traces = build_traces_df(
+            clean, result.schema, cfg.root_class,
+            cfg.include_update_values, cfg.n_salt,
+        )
+        if write_sinks:
+            traces.select("case_id", "trace_xml").write.mode("overwrite").parquet(
+                f"{out_dir}/traces_xes"
+            )
+            result.n_traces = (
+                docs.sparkSession.read.parquet(f"{out_dir}/traces_xes").count()
+            )
+        else:
+            result.n_traces = traces.count()
+
+    events.unpersist()
+    return result

@@ -18,24 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-# payload persisted to the routed sinks; html never travels this far
-SINK_COLUMNS = [
-    "url",
-    "warc_ts",
-    "lang",
-    "op",
-    "table_id",
-    "row_id",
-    "orig_row_id",
-    "ts",
-    "insert_cols",
-    "insert_vals",
-    "upd_attr",
-    "upd_new",
-    "upd_old",
-    "delete_cols",
-    "delete_vals",
-]
+# never persisted to the routed sinks: heavy payloads and the raw
+# statement (reconstructable); enrichment columns pass through
+SINK_EXCLUDED = {"html", "text", "statement", "parse_error"}
 
 
 def write_fanout(
@@ -48,7 +33,7 @@ def write_fanout(
     rejects separately. Returns per-sink routed-row counts (the north
     rule's per-sink aggregate equality check), measured on the same
     write pass via Observation."""
-    cols = [c for c in SINK_COLUMNS if c in events.columns and c != "op"]
+    cols = [c for c in events.columns if c not in SINK_EXCLUDED and c != "op"]
     clean = events.filter(F.col("parse_error").isNull()).select(*cols, "op")
 
     obs = Observation("routed")

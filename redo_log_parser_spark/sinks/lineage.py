@@ -1,0 +1,98 @@
+"""Per-partition lineage + metrics with idempotent resume (north rule).
+
+The input documents table is split into `n_url_buckets` deterministic
+url-hash buckets. Each bucket is processed and written independently;
+on success a lineage row (bucket id, row counts, wall time, status) is
+appended. On restart, completed buckets are anti-joined away and only
+pending buckets re-run — writes are per-bucket directories, so a retry
+overwrites its own bucket only (idempotent).
+
+This is the batch equivalent of checkpointing: no Structured Streaming
+state is required because the unit of recovery is a deterministic input
+partition, exactly as SURVEY.md §4.3 prescribes. At cluster scale the
+same code runs with Iceberg `overwritePartitions` instead of directory
+overwrite; the bucket column doubles as the Iceberg partition spec
+(bucket(url) — BASELINE.json north_star partitioning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "bucket int, status string, rows_in long, rows_clean long, "
+    "rows_reject long, wall_sec double, run_id string"
+)
+
+
+def with_bucket(df: DataFrame, n_buckets: int, key: str = "url") -> DataFrame:
+    """Deterministic url-hash bucket column (xxhash64 — stable across
+    Spark versions and cluster sizes)."""
+    return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
+
+
+def _lineage_dir(out_dir: str) -> str:
+    return f"{out_dir}/_lineage"
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    path = _lineage_dir(out_dir)
+    if not os.path.exists(path):
+        return set()
+    try:
+        df = spark.read.schema(LINEAGE_SCHEMA).json(path)
+        return {r["bucket"] for r in df.filter(F.col("status") == "ok").collect()}
+    except Exception:
+        return set()
+
+
+def record_lineage(out_dir: str, entry: dict) -> None:
+    """Append one lineage record (tiny; JSON lines on the driver — an
+    Iceberg `_lineage` table append in cluster deployments)."""
+    path = _lineage_dir(out_dir)
+    os.makedirs(path, exist_ok=True)
+    fname = f"{path}/bucket_{entry['bucket']:05d}_{entry['run_id']}.json"
+    with open(fname, "w") as fh:
+        fh.write(json.dumps(entry) + "\n")
+
+
+def run_resumable(
+    docs: DataFrame,
+    out_dir: str,
+    process_bucket,
+    n_buckets: int = 16,
+    run_id: str = "run0",
+) -> list[dict]:
+    """Drive per-bucket processing with resume.
+
+    `process_bucket(bucket_df, bucket_out_dir) -> dict` does the real
+    work for one bucket and returns its metrics. Completed buckets are
+    skipped on re-run (the checkpoint-resume contract)."""
+    spark = docs.sparkSession
+    done = completed_buckets(spark, out_dir)
+    bucketed = with_bucket(docs, n_buckets).cache()
+    results = []
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.monotonic()
+        bucket_df = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        metrics = process_bucket(bucket_df, f"{out_dir}/bucket={b:05d}")
+        entry = {
+            "bucket": b,
+            "status": "ok",
+            "rows_in": int(metrics.get("rows_in", -1)),
+            "rows_clean": int(metrics.get("rows_clean", -1)),
+            "rows_reject": int(metrics.get("rows_reject", -1)),
+            "wall_sec": time.monotonic() - t0,
+            "run_id": run_id,
+        }
+        record_lineage(out_dir, entry)
+        results.append(entry)
+    bucketed.unpersist()
+    return results

@@ -1,0 +1,169 @@
+"""Training-data operators: text analysis, dedup families, similarity
+search, multimodal plumbing. Self-consistency plus brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redo_log_parser_spark.functions import text as T
+from redo_log_parser_spark.functions.multimodal import (
+    decode_media, resize_plan, sample_frames)
+from redo_log_parser_spark.operators import dedup as D
+from redo_log_parser_spark.operators import similarity as S
+
+DOCS = [
+    (0, "the cat sat on the mat and it is that"),
+    (1, "the cat sat on the mat and it is that"),          # exact dup of 0
+    (2, "the cat sat on the mat and it was that thing"),   # near dup
+    (3, "der hund ist nicht ein und das der die"),
+    (4, "completely different text about spark engines!!!"),
+    (5, "THE CAT  SAT on the mat and it is that"),          # norm dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_token_count_and_quality(docs):
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.lang_id(F.col("text")).alias("lang"),
+        T.doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert rows[0]["n_tok"] == 10
+    assert rows[0]["lang"] == "en"
+    assert rows[3]["lang"] == "de"
+    assert rows[4]["lang"] == "und"
+    assert 0.0 <= rows[4]["q"] <= 1.0
+    # normalization: case/extra-space dup shares the fingerprint
+    assert rows[0]["fp"] == rows[5]["fp"] == rows[1]["fp"]
+
+
+def test_exact_dedup(docs):
+    kept = D.exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # 0,1,5 collapse to 0; 2,3,4 unique
+    assert ids == {0, 2, 3, 4}
+    groups = D.duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [0, 1, 5]
+
+
+def _py_shingles(text, n=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_ngram_jaccard_matches_bruteforce(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    want = {}
+    for i, ta in DOCS:
+        for j, tb in DOCS:
+            if i >= j:
+                continue
+            sa, sb = _py_shingles(ta), _py_shingles(tb)
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.3:
+                want[(i, j)] = round(jac, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    assert all(a < b for a, b in pairs)
+    # jaccard verification keeps unrelated docs out
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_dups(docs):
+    fps = D.simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[0] == vals[1] == vals[5]  # identical token multisets
+    dups = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dups(fps, max_hamming=16).collect()
+    }
+    assert dups[(0, 1)] == 0
+    # truly different docs are far in hamming space (not asserted absent:
+    # 64-bit simhash on tiny docs is noisy; only near-pairs are asserted)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype(float)
+    base[7] = base[3] * 1.001 + 1e-4  # near-dup pair (3, 7)
+    pdf = pd.DataFrame(
+        {"vec_id": range(20), "embedding": [list(v) for v in base]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk_matches_numpy(emb):
+    q = [1.0, 0.5, -0.25, 2.0, 0.0, 1.0, -1.0, 0.5]
+    got = [(r["vec_id"], r["score"]) for r in S.cosine_topk(emb, q, k=5).collect()]
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    qv = np.array(q)
+    want = sorted(
+        (
+            (vid, round(float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6))
+            for vid, v in vecs.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-5
+
+
+def test_lsh_ann_recall_on_top1(emb):
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    approx = [r["vec_id"] for r in S.lsh_bucketed_ann(emb, q, k=3, n_planes=6).collect()]
+    assert 3 in approx  # the vector itself must be found
+    assert 7 in approx  # and its planted near-duplicate
+
+
+def test_embedding_near_dup_pairs(emb):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.embedding_near_dup_pairs(emb, threshold=0.99, n_planes=6).collect()
+    }
+    assert (3, 7) in pairs and pairs[(3, 7)] > 0.999
+
+
+def test_multimodal_decode_plumbing(spark, mini_docs):
+    meta = decode_media(mini_docs.limit(20), kind="image", mode="fake")
+    rows = meta.collect()
+    assert len(rows) == 20
+    r0 = rows[0]
+    assert r0["kind"] == "image" and len(r0["feature"]) == 16
+    assert r0["n_bytes"] > 0 and r0["width"] >= 64
+    # deterministic: same input -> same features
+    again = decode_media(mini_docs.limit(20), kind="image", mode="fake").collect()
+    assert {r["media_id"]: r["feature"] for r in rows} == {
+        r["media_id"]: r["feature"] for r in again}
+    plan = resize_plan(meta, max_side=128).collect()
+    assert all(max(r["target_w"], r["target_h"]) <= 128 for r in plan)
+    frames = sample_frames(meta.withColumn("n_frames", F.lit(11)), every_n=5)
+    assert frames.groupBy("media_id").count().first()["count"] == 3
+
+
+def test_multimodal_strict_mode_is_stubbed(spark, mini_docs):
+    with pytest.raises(NotImplementedError):
+        decode_media(mini_docs, mode="strict")

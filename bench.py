@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": <total sec>, "unit": "sec",
+        "queries": {name: sec}, "sf": ..., "rows_per_sec": ...}
+
+Headline set = the parse→route→aggregate pipeline over redo statements
+synthesized from the sf tables (so row counts scale with sf), plus the
+schema-discovery, trace-collect, dedup and ANN operators.
+
+`python bench.py --scaling` additionally runs the SAME flagship job at
+local[8] and local[32] in fresh subprocesses and reports throughput at
+both plus scaling efficiency (the sandbox stand-in for N vs 4N
+executors; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _spark(cpus: str):
+    from redo_log_parser_spark.session import get_spark
+
+    return get_spark(
+        "rlps-bench",
+        master=f"local[{cpus}]",
+        confs={"spark.sql.shuffle.partitions": str(max(int(cpus), 8))},
+    )
+
+
+def headline_queries():
+    """name -> (callable(spark, sf_dir) -> DataFrame, action)."""
+    from pyspark.sql import functions as F
+
+    from redo_log_parser_spark.contract import (
+        q_ann_cosine,
+        q_dedup_exact,
+        q_minhash_pairs,
+        q_rowid_incarnation,
+        q_schema_discovery,
+        q_trace_collect,
+        q_route_counts,
+        synth_mixed_docs,
+    )
+    from redo_log_parser_spark.functions.parse import parse_documents
+    from redo_log_parser_spark.operators.rowid import uniquify_row_ids
+
+    def q_parse_route_aggregate(spark, sf_dir):
+        """The flagship parse→route→aggregate: synthesize, parse with the
+        pandas-UDF kernel, uniquify rowids, aggregate per (op, table)."""
+        docs = synth_mixed_docs(spark, sf_dir)
+        parsed = parse_documents(docs, keep_cols=("url", "warc_ts"))
+        events = uniquify_row_ids(parsed, order_cols=("ts", "url"))
+        return events.groupBy("op", "table_id").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("row_id").alias("n_entities"),
+        )
+
+    return {
+        "parse_route_aggregate": q_parse_route_aggregate,
+        "route_counts": q_route_counts,
+        "rowid_incarnation": q_rowid_incarnation,
+        "schema_discovery": q_schema_discovery,
+        "trace_collect": q_trace_collect,
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "ann_cosine": q_ann_cosine,
+    }
+
+
+def input_rows(spark, sf_dir: str) -> int:
+    """Rows the flagship consumes (synthesized statement count)."""
+    from redo_log_parser_spark.contract import synth_mixed_docs
+
+    return synth_mixed_docs(spark, sf_dir).count()
+
+
+def run_once(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
+    spark = _spark(cpus)
+    qs = headline_queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        dt = time.monotonic() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        _ = n
+    n_rows = input_rows(spark, sf_dir)
+    flagship = times["parse_route_aggregate"]
+    out = {
+        "metric": "parse_route_aggregate_pipeline",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "input_rows": n_rows,
+        "rows_per_sec": round(n_rows / flagship, 1) if flagship > 0 else None,
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(sf_dir: str = SF_DIR) -> dict:
+    """Same flagship job at two parallelism levels in fresh JVMs; report
+    throughput at both + scaling efficiency (north-rule evidence)."""
+    results = {}
+    for cpus in ("8", "32"):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single-flagship", cpus, sf_dir],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tp8 = results["8"]["rows_per_sec"]
+    tp32 = results["32"]["rows_per_sec"]
+    efficiency = (tp32 / tp8) / 4.0
+    return {
+        "throughput_local8_rows_per_sec": tp8,
+        "throughput_local32_rows_per_sec": tp32,
+        "speedup_8_to_32": round(tp32 / tp8, 3),
+        "scaling_efficiency_n_to_4n": round(efficiency, 3),
+        "sf": sf_dir,
+    }
+
+
+def run_single_flagship(cpus: str, sf_dir: str) -> dict:
+    """Subprocess entry used by run_scaling: flagship only, fresh JVM.
+    Two timed repetitions, keep the second (warm JIT/Arrow), since the
+    north rule measures steady-state throughput, not JVM startup."""
+    spark = _spark(cpus)
+    qs = headline_queries()
+    fn = qs["parse_route_aggregate"]
+    fn(spark, sf_dir).count()  # warm-up
+    t0 = time.monotonic()
+    fn(spark, sf_dir).count()
+    dt = time.monotonic() - t0
+    n_rows = input_rows(spark, sf_dir)
+    spark.stop()
+    return {
+        "cpus": int(cpus), "sec": round(dt, 3),
+        "rows_per_sec": round(n_rows / dt, 1), "input_rows": n_rows,
+    }
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--single-flagship":
+        print(json.dumps(run_single_flagship(sys.argv[2], sys.argv[3])))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

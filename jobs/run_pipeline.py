@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""spark-submit driver for the full pipeline.
+
+Cluster deployment (north rule):
+
+  spark-submit \\
+    --py-files rlps.zip \\
+    --conf spark.sql.adaptive.enabled=true \\
+    --conf spark.sql.shuffle.partitions=<2-3x total cores> \\
+    --conf spark.sql.files.maxPartitionBytes=128m \\
+    jobs/run_pipeline.py \\
+    --input <catalog>.documents --output s3://.../out \\
+    --root-class '"SYSTEM"."ORDERS"' --buckets 4096 --run-id r1
+
+Packaging: `python jobs/make_pyfiles.py` zips redo_log_parser_spark/
+into rlps.zip for --py-files. Locally the package is importable from
+the repo root, so the same script runs without the zip.
+
+Resume: re-running with the same --output skips buckets already marked
+ok in the lineage manifest (idempotent per-bucket overwrite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from redo_log_parser_spark.config import PipelineConfig
+from redo_log_parser_spark.pipeline import run_pipeline
+from redo_log_parser_spark.session import get_spark
+from redo_log_parser_spark.sinks.lineage import run_resumable
+from redo_log_parser_spark.sources.documents import read_documents
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or catalog table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--root-class", default=None)
+    ap.add_argument("--timestamp-pattern", default="dd-MMM-yyyy HH:mm:ss")
+    ap.add_argument("--include-update-values", action="store_true")
+    ap.add_argument("--strict", action="store_true")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="process everything as one job (no bucket lineage)")
+    args = ap.parse_args()
+
+    spark = get_spark("rlps-pipeline")
+    cfg = PipelineConfig(
+        ts_format_java=args.timestamp_pattern,
+        include_update_values=args.include_update_values,
+        strict_primary_keys=args.strict,
+        root_class=args.root_class,
+        output_dir=args.output,
+    )
+    docs = read_documents(spark, args.input)
+
+    if args.no_resume:
+        res = run_pipeline(docs, args.output, cfg)
+        print({"routed": res.routed_counts, "traces": res.n_traces})
+        return 0
+
+    def process(bucket_df, bucket_out):
+        res = run_pipeline(bucket_df, bucket_out, cfg)
+        clean = sum(
+            v for k, v in res.routed_counts.items() if k != "sink_rejects"
+        )
+        return {
+            "rows_in": clean + res.routed_counts.get("sink_rejects", 0),
+            "rows_clean": clean,
+            "rows_reject": res.routed_counts.get("sink_rejects", 0),
+        }
+
+    entries = run_resumable(
+        docs, args.output, process, n_buckets=args.buckets, run_id=args.run_id
+    )
+    print({"buckets_processed": len(entries)})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

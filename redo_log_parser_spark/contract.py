@@ -1,0 +1,904 @@
+"""Driver-contract queries: one per implemented operator (SURVEY.md §2),
+each with a DuckDB-runnable ANSI-SQL oracle over the same parquet tables.
+
+The parse/route/trace operators are exercised on redo statements
+SYNTHESIZED deterministically from the TPC-H-ish driver tables (orders /
+events), so the DuckDB oracle can state the expected extraction directly
+— a true round-trip check of the byte-parity kernel. Text/dedup/
+similarity operators run on the documents/embeddings tables.
+
+Cross-engine equality rules used throughout:
+  * doubles rounded to 6 (scores) or computed in double precision on
+    both sides (cosine);
+  * timestamps always emitted as formatted strings;
+  * every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TXT
+from .functions.parse import parse_documents
+from .functions.xes import trace_xml, xes_event_name, xes_timestamp
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .operators.rowid import uniquify_row_ids
+from .operators.schema_discovery import (
+    discover_schema,
+    inclusion_dependencies,
+    pk_uniqueness,
+    monotonicity,
+)
+from .operators.traces import collect_traces
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- synth
+
+_TS_FMT_SPARK = "dd-MMM-yyyy HH:mm:ss"
+
+
+def _synth_insert_text() -> F.Column:
+    return F.concat(
+        F.lit('insert into "TPCH"."ORDERS"("ID","PRIO") values (\''),
+        F.col("o_orderkey").cast("string"),
+        F.lit("','"),
+        F.col("o_orderpriority"),
+        F.lit("');"),
+    )
+
+
+def _synth_update_text() -> F.Column:
+    return F.concat(
+        F.lit('update "TPCH"."ORDERS" set "PRIO" = \''),
+        F.col("o_orderpriority"),
+        F.lit("_X' where \"PRIO\" = '"),
+        F.col("o_orderpriority"),
+        F.lit("' and ROWID = 'RID"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("';"),
+    )
+
+
+def _synth_delete_text() -> F.Column:
+    return F.concat(
+        F.lit('delete from "TPCH"."ORDERS" where "ID" = \''),
+        F.col("o_orderkey").cast("string"),
+        F.lit("' and ROWID = 'RID"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("';"),
+    )
+
+
+def _doc(stmt: F.Column, ts: F.Column, tag: str) -> F.Column:
+    rid = F.concat(F.lit("RID"), F.col("o_orderkey").cast("string"))
+    return F.concat(stmt, F.lit("\n"), rid, F.lit(" "), F.date_format(ts, _TS_FMT_SPARK))
+
+
+def _synth_url(tag: str) -> F.Column:
+    return F.concat(
+        F.lit(f"doc://{tag}/"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+
+
+def synth_insert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        _synth_url("i").alias("url"),
+        F.col("o_orderdate").alias("warc_ts"),
+        _doc(_synth_insert_text(), F.col("o_orderdate"), "i").alias("text"),
+    )
+
+
+def synth_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert for every order; PRIO update (+1 day) for okey%3==1;
+    ID+ROWID delete (+2 days) for okey%3==2 — exercises all three parse
+    paths, tombstones and the full schema-discovery stack."""
+    o = _t(spark, sf_dir, "orders")
+    ins = o.select(
+        F.col("o_orderkey").alias("okey"),
+        _synth_url("i").alias("url"),
+        F.col("o_orderdate").alias("warc_ts"),
+        _doc(_synth_insert_text(), F.col("o_orderdate"), "i").alias("text"),
+    )
+    upd_src = o.filter(F.col("o_orderkey") % 3 == 1).withColumn(
+        "uts", F.col("o_orderdate") + F.expr("interval 1 day")
+    )
+    upd = upd_src.select(
+        F.col("o_orderkey").alias("okey"),
+        _synth_url("u").alias("url"),
+        F.col("uts").alias("warc_ts"),
+        _doc(_synth_update_text(), F.col("uts"), "u").alias("text"),
+    )
+    del_src = o.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+        "dts", F.col("o_orderdate") + F.expr("interval 2 day")
+    )
+    dele = del_src.select(
+        F.col("o_orderkey").alias("okey"),
+        _synth_url("d").alias("url"),
+        F.col("dts").alias("warc_ts"),
+        _doc(_synth_delete_text(), F.col("dts"), "d").alias("text"),
+    )
+    return ins.unionByName(upd).unionByName(dele)
+
+
+_SQL_SYNTH_MIXED = """
+    select o_orderkey as okey, 'insert' as op from orders
+    union all
+    select o_orderkey, 'update' from orders where o_orderkey % 3 = 1
+    union all
+    select o_orderkey, 'delete' from orders where o_orderkey % 3 = 2
+"""
+
+
+# ------------------------------------------------------------- queries
+# P3 route-by-op over synthesized mixed statements
+def q_route_counts(spark, sf_dir):
+    docs = synth_mixed_docs(spark, sf_dir)
+    parsed = parse_documents(docs, keep_cols=("url", "warc_ts", "okey"))
+    return parsed.groupBy("op").agg(F.count("*").alias("n")).select("op", "n")
+
+
+SQL_ROUTE_COUNTS = f"select op, count(*) as n from ({_SQL_SYNTH_MIXED}) group by op"
+
+
+# P1-P4, P7: insert extraction round-trip
+def q_parse_insert(spark, sf_dir):
+    docs = synth_insert_docs(spark, sf_dir)
+    parsed = parse_documents(docs, keep_cols=("okey",))
+    return parsed.select(
+        F.col("okey").alias("key"),
+        "op",
+        "table_id",
+        "row_id",
+        F.col("insert_cols")[0].alias("col1"),
+        F.col("insert_cols")[1].alias("col2"),
+        F.col("insert_vals")[0].alias("id_val"),
+        F.col("insert_vals")[1].alias("prio_val"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+SQL_PARSE_INSERT = """
+    select o_orderkey as key, 'insert' as op, '"TPCH"."ORDERS"' as table_id,
+           'RID' || cast(o_orderkey as varchar) as row_id,
+           'ID' as col1, 'PRIO' as col2,
+           cast(o_orderkey as varchar) as id_val,
+           o_orderpriority as prio_val,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') as ts_str
+    from orders
+"""
+
+
+# P5: update extraction (incl. greedy '=' semantics on real values)
+def q_parse_update(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    docs = o.select(
+        F.col("o_orderkey").alias("okey"),
+        _synth_url("u").alias("url"),
+        F.col("o_orderdate").alias("warc_ts"),
+        _doc(_synth_update_text(), F.col("o_orderdate"), "u").alias("text"),
+    )
+    parsed = parse_documents(docs, keep_cols=("okey",))
+    return parsed.select(
+        F.col("okey").alias("key"), "op", "table_id", "row_id",
+        "upd_attr", "upd_new", "upd_old",
+    )
+
+
+SQL_PARSE_UPDATE = """
+    select o_orderkey as key, 'update' as op, '"TPCH"."ORDERS"' as table_id,
+           'RID' || cast(o_orderkey as varchar) as row_id,
+           'PRIO' as upd_attr,
+           o_orderpriority || '_X' as upd_new,
+           o_orderpriority as upd_old
+    from orders
+"""
+
+
+# P6: delete extraction (multi-predicate, ROWID key kept)
+def q_parse_delete(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    docs = o.select(
+        F.col("o_orderkey").alias("okey"),
+        _synth_url("d").alias("url"),
+        F.col("o_orderdate").alias("warc_ts"),
+        _doc(_synth_delete_text(), F.col("o_orderdate"), "d").alias("text"),
+    )
+    parsed = parse_documents(docs, keep_cols=("okey",))
+    return parsed.select(
+        F.col("okey").alias("key"), "op", "table_id",
+        F.concat_ws(",", "delete_cols").alias("keys_str"),
+        F.col("delete_vals")[0].alias("id_val"),
+        F.col("delete_vals")[1].alias("rowid_val"),
+    )
+
+
+SQL_PARSE_DELETE = """
+    select o_orderkey as key, 'delete' as op, '"TPCH"."ORDERS"' as table_id,
+           'ID,ROWID' as keys_str,
+           cast(o_orderkey as varchar) as id_val,
+           'RID' || cast(o_orderkey as varchar) as rowid_val
+    from orders
+"""
+
+
+# T1: incarnation numbering over the events stream
+def _events_ops(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "ts",
+        F.concat(F.lit("R"), (F.col("user_id") % 50).cast("string")).alias("row_id"),
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+    )
+
+
+def q_rowid_incarnation(spark, sf_dir):
+    ev = _events_ops(spark, sf_dir)
+    out = uniquify_row_ids(ev, order_cols=("ts", "event_id"))
+    return out.select("event_id", "row_id")
+
+
+SQL_ROWID_INCARNATION = """
+    with e as (
+      select event_id, ts,
+             'R' || cast(user_id % 50 as varchar) as rid,
+             case event_type when 'signup' then 'insert'
+                             when 'error' then 'delete'
+                             else 'update' end as op
+      from events),
+    o as (select *,
+             row_number() over (partition by rid order by ts, event_id) as rn,
+             lag(op) over (partition by rid order by ts, event_id) as prev_op
+          from e),
+    r as (select *, case when rn > 1 and (op = 'insert' or prev_op = 'delete')
+                         then 1 else 0 end as restart from o),
+    i as (select *, sum(restart) over (partition by rid order by ts, event_id
+                    rows between unbounded preceding and current row) as inc from r)
+    select event_id,
+           case when inc = 0 then rid else rid || '#' || cast(inc as varchar) end as row_id
+    from i
+"""
+
+
+# A2: latest value per key (window dedup)
+def q_latest_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_val"),
+        )
+    )
+
+
+SQL_LATEST_VALUE = """
+    select user_id, event_type as last_type, round(value, 6) as last_val
+    from (select *, row_number() over (partition by user_id
+                    order by ts desc, event_id desc) as rn from events)
+    where rn = 1
+"""
+
+
+# A3 (final-state): uniqueness per column
+def q_pk_unique_basic(spark, sf_dir):
+    def one(df, col):
+        return df.agg(
+            F.lit(col).alias("col"),
+            (F.count(col) == F.countDistinct(col)).alias("is_unique"),
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        one(o, "o_orderkey")
+        .unionByName(one(o, "o_custkey"))
+        .unionByName(one(c, "c_custkey"))
+        .unionByName(one(li, "l_orderkey"))
+    )
+
+
+SQL_PK_UNIQUE_BASIC = """
+    select 'o_orderkey' as col, count(o_orderkey) = count(distinct o_orderkey) as is_unique from orders
+    union all
+    select 'o_custkey', count(o_custkey) = count(distinct o_custkey) from orders
+    union all
+    select 'c_custkey', count(c_custkey) = count(distinct c_custkey) from customer
+    union all
+    select 'l_orderkey', count(l_orderkey) = count(distinct l_orderkey) from lineitem
+"""
+
+
+# A3 (sticky/prefix-exact): value-lifetime overlap
+def q_pk_sticky_overlap(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    writes = e.select(
+        F.lit("E").alias("table_id"),
+        F.col("event_type").alias("col"),
+        F.col("user_id").cast("string").alias("row_id"),
+        F.floor("value").cast("bigint").cast("string").alias("value"),
+        F.struct(
+            F.col("ts").alias("k0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("k1"),
+        ).alias("sk"),
+        F.lit("write").alias("kind"),
+    )
+    return pk_uniqueness(writes).select("col", "can_be_pk")
+
+
+SQL_PK_STICKY_OVERLAP = """
+    with w as (select event_type as col, user_id as row_id,
+                      cast(cast(floor(value) as bigint) as varchar) as value,
+                      ts, event_id from events),
+    p as (select *, row_number() over (order by ts, event_id) as pos from w),
+    iv as (select *, lead(pos) over (partition by col, row_id order by pos) as end_pos from p),
+    ov as (select *, max(coalesce(end_pos, 9223372036854775807))
+                     over (partition by col, value order by pos
+                           rows between unbounded preceding and 1 preceding) as prev_end
+           from iv)
+    select col, bool_and(not (prev_end is not null and pos < prev_end)) as can_be_pk
+    from ov group by col
+"""
+
+
+# A4: monotonicity over log-ordered writes
+def q_monotonicity(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    writes = e.select(
+        F.lit("E").alias("table_id"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("col"),
+        F.col("user_id").cast("string").alias("row_id"),
+        F.col("value").cast("string").alias("value"),
+        F.struct(
+            F.col("ts").alias("k0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("k1"),
+        ).alias("sk"),
+        F.lit("write").alias("kind"),
+    )
+    return monotonicity(writes).select("col", "values_increasing")
+
+
+SQL_MONOTONICITY = """
+    with w as (select 'u' || cast(user_id % 10 as varchar) as col, value, ts, event_id
+               from events),
+    s as (select col, value,
+                 lag(value) over (partition by col order by ts, event_id) as prev
+          from w)
+    select col, bool_and(prev is null or prev < value) as values_increasing
+    from s group by col
+"""
+
+
+# A5: PK-name heuristic
+def q_pk_name_heuristic(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("event_type").distinct()
+    names = e.select(
+        F.explode(
+            F.array(F.col("event_type"), F.concat(F.col("event_type"), F.lit("_id")))
+        ).alias("name")
+    )
+    return names.select(
+        "name", F.lower("name").rlike("(id|nr|key|no)$").alias("name_like_pk")
+    )
+
+
+SQL_PK_NAME_HEURISTIC = """
+    select name, regexp_matches(lower(name), '(id|nr|key|no)$') as name_like_pk
+    from (select unnest([event_type, event_type || '_id']) as name
+          from (select distinct event_type from events))
+"""
+
+
+# A6: inclusion dependencies via one join
+_IND_COLS = [
+    ("orders", "o_custkey"),
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("nation", "n_regionkey"),
+    ("region", "r_regionkey"),
+]
+
+
+def q_ind_subset(spark, sf_dir):
+    frames = []
+    for t, c in _IND_COLS:
+        frames.append(
+            _t(spark, sf_dir, t).select(
+                F.lit(t).alias("table_id"),
+                F.lit(c).alias("col"),
+                F.lit(None).cast("string").alias("row_id"),
+                F.col(c).cast("string").alias("value"),
+            )
+        )
+    curr = frames[0]
+    for f in frames[1:]:
+        curr = curr.unionByName(f)
+    registry = curr.select("table_id", "col").distinct()
+    return inclusion_dependencies(curr, registry)
+
+
+_SQL_IND_VALUES = " union all ".join(
+    f"select '{t}' as table_id, '{c}' as col, cast({c} as varchar) as value from {t}"
+    for t, c in _IND_COLS
+)
+SQL_IND_SUBSET = f"""
+    with v as ({_SQL_IND_VALUES}),
+    d as (select distinct table_id, col, value from v),
+    n as (select table_id, col, count(*) as nd from d group by 1, 2),
+    m as (select a.table_id, a.col, b.table_id as ref_table, b.col as ref_col,
+                 count(*) as nm
+          from d a join d b using (value)
+          where a.table_id <> b.table_id
+          group by 1, 2, 3, 4)
+    select m.table_id, m.col, m.ref_table, m.ref_col
+    from m join n on m.table_id = n.table_id and m.col = n.col
+    where nm = nd
+"""
+
+
+# A8: undirected relation dedup via canonical ordering
+def q_undirected_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        (F.col("user_id") % 20).alias("a"),
+        (F.abs(F.floor(F.col("value") * 7)).cast("bigint") % 20).alias("b"),
+    )
+    return edges.select(
+        F.least("a", "b").alias("ta"), F.greatest("a", "b").alias("tb")
+    ).distinct()
+
+
+SQL_UNDIRECTED_DEDUP = """
+    select distinct least(a, b) as ta, greatest(a, b) as tb
+    from (select user_id % 20 as a,
+                 cast(abs(floor(value * 7)) as bigint) % 20 as b
+          from events)
+"""
+
+
+# J1: entity-edge equi-join (broadcast dimension)
+def q_entity_edges(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_custkey"
+    )
+
+
+SQL_ENTITY_EDGES = """
+    select o_orderkey, c_custkey from orders join customer on o_custkey = c_custkey
+"""
+
+
+# J4: broadcast enrichment join
+def q_enrich_broadcast(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cust_key", (F.col("user_id") % 100 + 1).cast("bigint")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return e.join(F.broadcast(c), e["cust_key"] == c["c_custkey"], "left").select(
+        "event_id", "cust_key", "c_name", "c_mktsegment"
+    )
+
+
+SQL_ENRICH_BROADCAST = """
+    select event_id, user_id % 100 + 1 as cust_key, c_name, c_mktsegment
+    from events left join customer on c_custkey = user_id % 100 + 1
+"""
+
+
+# G3: root-case founding by first appearance
+def q_root_buckets(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    w = Window.orderBy("first_ts", "user_id")
+    return firsts.select(
+        "user_id", (F.row_number().over(w) - 1).alias("case_idx")
+    )
+
+
+SQL_ROOT_BUCKETS = """
+    select user_id,
+           row_number() over (order by first_ts, user_id) - 1 as case_idx
+    from (select user_id, min(ts) as first_ts from events group by user_id)
+"""
+
+
+# G4: salted trace collect with deterministic ordering
+def _assigned_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("user_id").cast("string").alias("case_id"),
+        F.col("event_type").alias("event_name"),
+        xes_timestamp(F.col("ts")).alias("xes_ts"),
+        "ts",
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("url"),
+    )
+
+
+def q_trace_collect(spark, sf_dir):
+    traces = collect_traces(
+        _assigned_events(spark, sf_dir), event_cols=("event_name",), n_salt=8
+    )
+    return traces.select(
+        "case_id",
+        F.size("events").alias("n_events"),
+        F.array_join(
+            F.transform("events", lambda x: x["event_name"]), ","
+        ).alias("events_str"),
+    )
+
+
+SQL_TRACE_COLLECT = """
+    select cast(user_id as varchar) as case_id,
+           cast(count(*) as int) as n_events,
+           string_agg(event_type, ',' order by ts, lpad(cast(event_id as varchar), 12, '0')) as events_str
+    from events group by user_id
+"""
+
+
+# P8-P9: XES event names + timestamps
+def q_xes_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.lit("EVENTS").alias("table_id"),
+        F.col("event_type").alias("upd_attr"),
+        F.floor("value").cast("bigint").cast("string").alias("upd_new"),
+    )
+    return ev.select(
+        "event_id",
+        xes_event_name(include_update_values=True).alias("event_name"),
+        xes_timestamp(F.col("ts")).alias("xes_ts"),
+    )
+
+
+SQL_XES_EVENTS = """
+    select event_id,
+           case when event_type = 'signup' then 'Add EVENTS entity'
+                when event_type = 'error' then 'Delete entity from EVENTS'
+                else 'Update ' || event_type || ' value of EVENTS entity to ' ||
+                     cast(cast(floor(value) as bigint) as varchar) end as event_name,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.000+00:00' as xes_ts
+    from events
+"""
+
+
+# P10: per-trace XES XML
+def q_xes_trace_xml(spark, sf_dir):
+    traces = collect_traces(
+        _assigned_events(spark, sf_dir), event_cols=("event_name", "xes_ts"), n_salt=8
+    )
+    return trace_xml(traces).select("case_id", "trace_xml")
+
+
+SQL_XES_TRACE_XML = """
+    select cast(user_id as varchar) as case_id,
+           '<trace>' || string_agg(
+             '<event><string key="concept:name" value="' || event_type ||
+             '"/><date key="time:timestamp" value="' ||
+             strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.000+00:00' || '"/></event>',
+             '' order by ts, lpad(cast(event_id as varchar), 12, '0')
+           ) || '</trace>' as trace_xml
+    from events group by user_id
+"""
+
+
+# sessionization (gap > 30 min starts a new session)
+def q_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ here; route through timestamp (UTC
+    # session) before the epoch cast
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gapped = e.withColumn(
+        "new_sess",
+        (epoch - F.lag(epoch).over(w) > 1800).cast("int"),
+    )
+    return gapped.groupBy("user_id").agg(
+        (F.coalesce(F.sum("new_sess"), F.lit(0)) + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+    with g as (select user_id,
+                      case when epoch(ts) - epoch(lag(ts) over
+                           (partition by user_id order by ts, event_id)) > 1800
+                           then 1 else 0 end as new_sess
+               from events)
+    select user_id, cast(sum(new_sess) + 1 as bigint) as n_sessions,
+           count(*) as n_events
+    from g group by user_id
+"""
+
+
+# A1-A8 flagship: full schema discovery over synthesized statements
+def q_schema_discovery(spark, sf_dir):
+    docs = synth_mixed_docs(spark, sf_dir)
+    parsed = parse_documents(docs, keep_cols=("url", "warc_ts"))
+    events = uniquify_row_ids(parsed, order_cols=("ts", "url"))
+    cols_df, _ = discover_schema(events, order_cols=("ts", "url"))
+    return cols_df.select(
+        "table_id", "col", "can_be_pk", "values_increasing", "name_like_pk"
+    )
+
+
+# Oracle notes: ID is unique by construction (one insert per orderkey,
+# never two live rows with the same ID) -> can_be_pk true; PRIO has
+# massive concurrent duplicates (5 priorities) -> false. increasing(ID)
+# is computed exactly (writes are the inserts ordered by (date, url));
+# increasing(PRIO) is false for any non-trivial row count because only 5
+# distinct string values exist (a strict increase over >5 writes is
+# impossible) — stated literally.
+SQL_SCHEMA_DISCOVERY = """
+    with inc as (
+      select coalesce(bool_and(prev < cur), true) as v
+      from (select cast(o_orderkey as double) as cur,
+                   lag(cast(o_orderkey as double)) over
+                     (order by o_orderdate,
+                               'doc://i/' || lpad(cast(o_orderkey as varchar), 12, '0')) as prev
+            from orders))
+    select '"TPCH"."ORDERS"' as table_id, 'ID' as col,
+           true as can_be_pk, (select v from inc) as values_increasing,
+           true as name_like_pk
+    union all
+    select '"TPCH"."ORDERS"', 'PRIO', false, false, false
+"""
+
+
+# ------------------------------------------------- text / dedup / ANN
+
+_EN = TXT.LANG_MARKERS["en"]
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.token_count(F.col("text")).alias("n_tok"))
+
+
+SQL_TOKEN_COUNT = """
+    select doc_id,
+           cast(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) as int) as n_tok
+    from documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.quality_score(F.col("text")).alias("q"))
+
+
+SQL_QUALITY_SCORE = f"""
+    with t as (select doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') as toks
+               from documents),
+    m as (select doc_id, text, len(toks) as n_tok,
+                 len(list_filter(list_transform(toks, x -> lower(x)),
+                     x -> list_contains({_EN!r}, x))) as hits
+          from t),
+    s as (select doc_id,
+                 least(n_tok / 50.0, 1.0) as len_score,
+                 1.0 - least((length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                              * 1.0 / length(text)) * 5, 1.0) as punct_score,
+                 least((hits * 1.0 / n_tok) * 4, 1.0) as stop_score
+          from m)
+    select doc_id, round(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3, 6) as q
+    from s
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    hit_cols = ",\n".join(
+        f"len(list_filter(toks, x -> list_contains({ms!r}, x))) as h_{lang}"
+        for lang, ms in TXT.LANG_MARKERS.items()
+    )
+    # fixed-order argmax with strict > (mirrors functions/text.lang_id)
+    langs = list(TXT.LANG_MARKERS)
+    best = "'und'"
+    best_n = "0"
+    for lang in langs:
+        best = f"case when h_{lang} > {best_n} then '{lang}' else {best} end"
+        best_n = f"greatest(h_{lang}, {best_n})"
+    return f"""
+    with t as (select doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') as toks
+               from documents),
+    h as (select doc_id, {hit_cols} from t)
+    select doc_id, {best} as lang_pred from h
+    """
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+    select doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fingerprint
+    from documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(d)
+
+
+SQL_DEDUP_EXACT = """
+    select min(doc_id) as doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fingerprint
+    from documents group by fingerprint
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = """
+    with t as (select doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') as toks
+               from documents),
+    sh as (select distinct doc_id, shingle
+           from (select doc_id,
+                        unnest(list_transform(generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))) as shingle
+                 from t)),
+    sz as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    co as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_common
+           from sh a join sh b using (shingle)
+           where a.doc_id < b.doc_id
+           group by 1, 2)
+    select id_a, id_b,
+           round(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 6) as jaccard
+    from co join sz na on na.doc_id = id_a
+            join sz nb on nb.doc_id = id_b
+    where n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= 0.5
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.cosine_topk(emb, qv, k=10).select("vec_id", "score")
+
+
+SQL_ANN_COSINE = """
+    with q as (select embedding as qv from embeddings where vec_id = 0),
+    s as (select vec_id,
+            list_sum(list_transform(list_zip(embedding, (select qv from q)),
+                     x -> cast(x[1] as double) * cast(x[2] as double))) as dot,
+            sqrt(list_sum(list_transform(embedding,
+                 x -> cast(x as double) * cast(x as double)))) as na,
+            (select sqrt(list_sum(list_transform(qv,
+                 x -> cast(x as double) * cast(x as double)))) from q) as nb
+          from embeddings)
+    select vec_id, round(dot / (na * nb), 6) as score
+    from s order by score desc, vec_id limit 10
+"""
+
+
+def q_topk_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rk")
+    )
+
+
+SQL_TOPK_DOCS = """
+    select lang, doc_id, n_chars, cast(rk as int) as rk
+    from (select lang, doc_id, n_chars,
+                 row_number() over (partition by lang
+                                    order by n_chars desc, doc_id) as rk
+          from documents)
+    where rk <= 3
+"""
+
+
+# ---------------------------------------- non-SQL-expressible (rows-only)
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (xxhash64 signatures are engine-
+    specific — no DuckDB oracle; verified by brute-force Jaccard in
+    tests/test_text_dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_dedup_pairs(d, num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (xxhash64-based; rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash(d)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """LSH-bucketed cosine near-dup pairs (float-boundary sensitive;
+    rows-only check, numpy-oracle tested in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.9, n_planes=6)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column decode plumbing via mapInPandas (deterministic fake
+    decoder; real codecs stubbed — rows-only check)."""
+    from .functions.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    ).withColumn("doc_key", F.col("doc_id").cast("string"))
+    return decode_media(d, id_col="doc_key", bytes_col="payload", kind="image")
+
+
+QUERIES = {
+    "route_counts": (q_route_counts, SQL_ROUTE_COUNTS),
+    "parse_insert": (q_parse_insert, SQL_PARSE_INSERT),
+    "parse_update": (q_parse_update, SQL_PARSE_UPDATE),
+    "parse_delete": (q_parse_delete, SQL_PARSE_DELETE),
+    "rowid_incarnation": (q_rowid_incarnation, SQL_ROWID_INCARNATION),
+    "latest_value": (q_latest_value, SQL_LATEST_VALUE),
+    "pk_unique_basic": (q_pk_unique_basic, SQL_PK_UNIQUE_BASIC),
+    "pk_sticky_overlap": (q_pk_sticky_overlap, SQL_PK_STICKY_OVERLAP),
+    "monotonicity": (q_monotonicity, SQL_MONOTONICITY),
+    "pk_name_heuristic": (q_pk_name_heuristic, SQL_PK_NAME_HEURISTIC),
+    "ind_subset": (q_ind_subset, SQL_IND_SUBSET),
+    "undirected_dedup": (q_undirected_dedup, SQL_UNDIRECTED_DEDUP),
+    "entity_edges": (q_entity_edges, SQL_ENTITY_EDGES),
+    "enrich_broadcast": (q_enrich_broadcast, SQL_ENRICH_BROADCAST),
+    "root_buckets": (q_root_buckets, SQL_ROOT_BUCKETS),
+    "trace_collect": (q_trace_collect, SQL_TRACE_COLLECT),
+    "xes_events": (q_xes_events, SQL_XES_EVENTS),
+    "xes_trace_xml": (q_xes_trace_xml, SQL_XES_TRACE_XML),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "schema_discovery": (q_schema_discovery, SQL_SCHEMA_DISCOVERY),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "topk_docs": (q_topk_docs, SQL_TOPK_DOCS),
+    # rows-only (no SQL oracle; see docstrings)
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash": (q_simhash, None),
+    "embedding_near_dups": (q_embedding_near_dups, None),
+    "multimodal_meta": (q_multimodal_meta, None),
+}

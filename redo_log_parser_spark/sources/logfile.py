@@ -27,7 +27,7 @@ def read_log_files(spark: SparkSession, path: str) -> DataFrame:
     (FileParser.scala:22). warc_ts/lang are absent — the parse kernel
     extracts ts from the record itself; `url` encodes (file, seq) and is
     zero-padded so (ts, url) ordering matches file order."""
-    files = spark.read.option("wholetext", True).text(path).select(
+    files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), F.col("value")
     )
     lines = files.select(

@@ -59,8 +59,15 @@ def headline_queries():
 
     def q_parse_route_aggregate(spark, sf_dir):
         """The flagship parse→route→aggregate: synthesize, parse with the
-        pandas-UDF kernel, uniquify rowids, aggregate per (op, table)."""
-        docs = synth_mixed_docs(spark, sf_dir)
+        pandas-UDF kernel, uniquify rowids, aggregate per (op, table).
+
+        The sf test tables are single parquet files (one input split), so
+        the CPU-bound parse is repartitioned to 2× cores first — on a
+        real Iceberg table the file/split layout provides this
+        parallelism natively and the shuffle disappears."""
+        docs = synth_mixed_docs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism * 2
+        )
         parsed = parse_documents(docs, keep_cols=("url", "warc_ts"))
         events = uniquify_row_ids(parsed, order_cols=("ts", "url"))
         return events.groupBy("op", "table_id").agg(
@@ -93,6 +100,8 @@ def run_once(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     times: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
+        fn(spark, sf_dir).count()  # warm-up: JIT, codegen, file listing
+        spark.catalog.clearCache()  # isolate queries (some cache internally)
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         n = df.count()  # materialize the full plan
@@ -100,6 +109,7 @@ def run_once(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
         times[name] = round(dt, 3)
         total += dt
         _ = n
+        spark.catalog.clearCache()
     n_rows = input_rows(spark, sf_dir)
     flagship = times["parse_route_aggregate"]
     out = {
@@ -139,18 +149,45 @@ def run_scaling(sf_dir: str = SF_DIR) -> dict:
     }
 
 
+def _scaled_flagship(spark, sf_dir: str, reps: int):
+    """Flagship plan over a reps×-replicated corpus: at sf0.1 the base
+    input is 250k statements (~5 s of single-core parse), far too small
+    to measure scaling — overhead dominates and more cores lose. The
+    north-rule throughput criterion is about steady-state compute, so
+    the scaling run replicates the corpus until parse work dominates
+    scheduling (reps=16 → 4M statements)."""
+    from pyspark.sql import functions as F
+
+    from redo_log_parser_spark.contract import synth_mixed_docs
+    from redo_log_parser_spark.functions.parse import parse_documents
+    from redo_log_parser_spark.operators.rowid import uniquify_row_ids
+
+    base = synth_mixed_docs(spark, sf_dir)
+    docs = (
+        base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .withColumn("url", F.concat_ws("#", "url", F.col("rep").cast("string")))
+        .drop("rep")
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    parsed = parse_documents(docs, keep_cols=("url", "warc_ts"))
+    events = uniquify_row_ids(parsed, order_cols=("ts", "url"))
+    return events.groupBy("op", "table_id").agg(
+        F.count("*").alias("n"), F.countDistinct("row_id").alias("n_entities")
+    )
+
+
 def run_single_flagship(cpus: str, sf_dir: str) -> dict:
     """Subprocess entry used by run_scaling: flagship only, fresh JVM.
-    Two timed repetitions, keep the second (warm JIT/Arrow), since the
-    north rule measures steady-state throughput, not JVM startup."""
+    One warm-up pass, then the timed pass (steady-state throughput, not
+    JVM startup)."""
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "16"))
     spark = _spark(cpus)
-    qs = headline_queries()
-    fn = qs["parse_route_aggregate"]
-    fn(spark, sf_dir).count()  # warm-up
+    n_rows = input_rows(spark, sf_dir) * reps
+    _scaled_flagship(spark, sf_dir, reps).count()  # warm-up
+    spark.catalog.clearCache()
     t0 = time.monotonic()
-    fn(spark, sf_dir).count()
+    _scaled_flagship(spark, sf_dir, reps).count()
     dt = time.monotonic() - t0
-    n_rows = input_rows(spark, sf_dir)
     spark.stop()
     return {
         "cpus": int(cpus), "sec": round(dt, 3),

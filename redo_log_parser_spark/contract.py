@@ -687,6 +687,44 @@ SQL_TOKEN_COUNT = """
 """
 
 
+def q_bpe_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TXT.bpe_ish_token_count(F.col("text")).alias("n_pieces")
+    )
+
+
+SQL_BPE_TOKENS = """
+    select doc_id,
+           cast(list_sum(list_transform(
+                  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                  x -> 1 + cast(floor(length(x) / 6) as int))) as int) as n_pieces
+    from documents
+"""
+
+
+def q_punct_stopword(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TXT.punct_ratio(F.col("text")), 6).alias("punct_r"),
+        F.round(TXT.stopword_ratio(F.col("text")), 6).alias("stop_r"),
+    )
+
+
+SQL_PUNCT_STOPWORD = f"""
+    with t as (select doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') as toks
+               from documents)
+    select doc_id,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                 / length(text), 6) as punct_r,
+           round(len(list_filter(list_transform(toks, x -> lower(x)),
+                     x -> list_contains({_EN!r}, x))) * 1.0 / len(toks), 6) as stop_r
+    from t
+"""
+
+
 def q_quality_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", TXT.quality_score(F.col("text")).alias("q"))
@@ -889,6 +927,8 @@ QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "schema_discovery": (q_schema_discovery, SQL_SCHEMA_DISCOVERY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
+    "punct_stopword": (q_punct_stopword, SQL_PUNCT_STOPWORD),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

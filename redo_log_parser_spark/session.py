@@ -23,7 +23,8 @@ DEFAULT_CONFS = {
     # spark-submit --conf (jobs/run_pipeline.py documents the knobs)
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
-    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+    # local mode = driver-only JVM; size it to the host (128 GiB box)
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
     "spark.ui.enabled": "false",
 }
 

@@ -162,12 +162,16 @@ def _scaled_flagship(spark, sf_dir: str, reps: int):
     from redo_log_parser_spark.functions.parse import parse_documents
     from redo_log_parser_spark.operators.rowid import uniquify_row_ids
 
-    base = synth_mixed_docs(spark, sf_dir)
+    # repartition the small base BEFORE the xN explode: the sf tables are
+    # single parquet files (≤3 input splits), so fanning out first means
+    # the replicate+parse work runs on all cores instead of 3 tasks
+    base = synth_mixed_docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     docs = (
         base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
         .withColumn("url", F.concat_ws("#", "url", F.col("rep").cast("string")))
         .drop("rep")
-        .repartition(spark.sparkContext.defaultParallelism * 2)
     )
     parsed = parse_documents(docs, keep_cols=("url", "warc_ts"))
     events = uniquify_row_ids(parsed, order_cols=("ts", "url"))

@@ -118,26 +118,30 @@ def parse_record_batch(text: pd.Series, strptime_fmt: str) -> pd.DataFrame:
     pandas UDF and unit tests."""
     n = len(text)
     # --- chunking (P1-P2, FileParser.scala:22,52-61) ---
-    # statement = first non-blank line, trimmed; id line = next non-blank.
-    body = text.str.replace(r"\A(?:[^\S\n]*\n)+", "", regex=True)
-    stmt = body.str.extract(r"\A([^\n]*)", expand=False).str.strip()
-    idline = body.str.extract(
-        r"\A[^\n]*\n(?:[^\S\n]*\n)*([^\n]*)", expand=False
+    # ONE pass: statement line + id line + split(" ", 2) of the id line
+    # (row id before first space, timestamp remainder), skipping blank
+    # lines before either line.
+    chunk = text.str.extract(
+        r"\A(?:[^\S\n]*\n)*([^\n]*)\n(?:[^\S\n]*\n)*([^ \n]*)(?: ([^\n]*))?",
+        expand=True,
     )
-    # split(" ", 2): row id before first space, rest is the timestamp
-    row_id = idline.str.extract(r"\A([^ ]*)", expand=False)
-    has_space = idline.str.contains(" ", regex=False).fillna(False)
+    stmt = chunk[0].str.strip()
+    row_id = chunk[1]
     ts_raw = (
-        idline.str.replace(r"\A[^ ]* ", "", n=1, regex=True)
-        .str.strip()
-        .str.replace(r" +", " ", regex=True)
+        chunk[2].str.strip().str.replace(" +", " ", regex=True)
     )
-    ts_raw = ts_raw.where(has_space)
     ts = pd.to_datetime(ts_raw, format=strptime_fmt, errors="coerce")
+    idline = chunk[1]  # null ⇔ no id line at all
 
     # --- statement classification + table id (P3, P7) ---
-    op = stmt.str.extract(_RE_TYPE, expand=False)
-    table_id = stmt.str.extract(_RE_TABLE, expand=True)[2]
+    # the table pattern's group 1 is the op (parser/package.scala:26-27);
+    # rows that fail it get the cheap type-only pattern for error labeling
+    tbl = stmt.str.extract(_RE_TABLE, expand=True)
+    table_id = tbl[2]
+    op = tbl[0]
+    missed = op.isna()
+    if missed.any():
+        op = op.where(~missed, stmt[missed].str.extract(_RE_TYPE, expand=False))
 
     out = pd.DataFrame(
         {

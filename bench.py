@@ -33,10 +33,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def _spark(cpus: str):
     from redo_log_parser_spark.session import get_spark
 
+    # 4 tasks per core: bounds stage-tail straggler idle time
     return get_spark(
         "rlps-bench",
         master=f"local[{cpus}]",
-        confs={"spark.sql.shuffle.partitions": str(max(int(cpus), 8))},
+        confs={"spark.sql.shuffle.partitions": str(4 * int(cpus))},
     )
 
 
@@ -75,8 +76,25 @@ def headline_queries():
             F.countDistinct("row_id").alias("n_entities"),
         )
 
+    def q_parse_route_aggregate_sqlparser(spark, sf_dir):
+        """Same flagship with the pure-JVM expression parser
+        (functions/parse_sql.py) — no Python workers; shows the cost of
+        the Arrow boundary vs the mandated pandas kernel."""
+        from redo_log_parser_spark.functions.parse_sql import parse_documents_sql
+
+        docs = synth_mixed_docs(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism * 2
+        )
+        parsed = parse_documents_sql(docs, keep_cols=("url", "warc_ts"))
+        events = uniquify_row_ids(parsed, order_cols=("ts", "url"))
+        return events.groupBy("op", "table_id").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("row_id").alias("n_entities"),
+        )
+
     return {
         "parse_route_aggregate": q_parse_route_aggregate,
+        "parse_route_aggregate_sqlparser": q_parse_route_aggregate_sqlparser,
         "route_counts": q_route_counts,
         "rowid_incarnation": q_rowid_incarnation,
         "schema_discovery": q_schema_discovery,
@@ -127,23 +145,36 @@ def run_once(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
 
 
 def run_scaling(sf_dir: str = SF_DIR) -> dict:
-    """Same flagship job at two parallelism levels in fresh JVMs; report
-    throughput at both + scaling efficiency (north-rule evidence)."""
+    """Same flagship job at N and 4N executors; report throughput at
+    both + scaling efficiency (north-rule evidence).
+
+    Cluster simulation: `local-cluster[W,4,6144]` launches W REAL
+    executor JVMs with 4 cores each — W=2 (N=8 cores) vs W=8 (4N=32
+    cores). This mirrors production topology (many small-JVM executors,
+    each feeding a handful of Python workers), unlike a single
+    32-thread JVM. Each run is CPU-PINNED (taskset) to exactly its core
+    budget so the smaller cluster cannot borrow idle host cores for its
+    Python workers — a real 8-core cluster has no such spare cores."""
+    import shutil
+
     results = {}
-    for cpus in ("8", "32"):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--single-flagship", cpus, sf_dir],
-            capture_output=True, text=True, timeout=3600,
-        )
+    for workers in ("2", "8"):
+        cores = int(workers) * 4
+        cmd = [sys.executable, __file__, "--single-flagship", workers, sf_dir]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}", *cmd]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-    tp8 = results["8"]["rows_per_sec"]
-    tp32 = results["32"]["rows_per_sec"]
-    efficiency = (tp32 / tp8) / 4.0
+        results[workers] = json.loads(line)
+    tp_n = results["2"]["rows_per_sec"]
+    tp_4n = results["8"]["rows_per_sec"]
+    efficiency = (tp_4n / tp_n) / 4.0
     return {
-        "throughput_local8_rows_per_sec": tp8,
-        "throughput_local32_rows_per_sec": tp32,
-        "speedup_8_to_32": round(tp32 / tp8, 3),
+        "executors_n": {"workers": 2, "cores": 8, **results["2"]},
+        "executors_4n": {"workers": 8, "cores": 32, **results["8"]},
+        "throughput_n_rows_per_sec": tp_n,
+        "throughput_4n_rows_per_sec": tp_4n,
+        "speedup_n_to_4n": round(tp_4n / tp_n, 3),
         "scaling_efficiency_n_to_4n": round(efficiency, 3),
         "sf": sf_dir,
     }
@@ -166,7 +197,7 @@ def _scaled_flagship(spark, sf_dir: str, reps: int):
     # single parquet files (≤3 input splits), so fanning out first means
     # the replicate+parse work runs on all cores instead of 3 tasks
     base = synth_mixed_docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism * 2
+        spark.sparkContext.defaultParallelism * 4
     )
     docs = (
         base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
@@ -180,12 +211,23 @@ def _scaled_flagship(spark, sf_dir: str, reps: int):
     )
 
 
-def run_single_flagship(cpus: str, sf_dir: str) -> dict:
-    """Subprocess entry used by run_scaling: flagship only, fresh JVM.
-    One warm-up pass, then the timed pass (steady-state throughput, not
-    JVM startup)."""
+def run_single_flagship(workers: str, sf_dir: str) -> dict:
+    """Subprocess entry used by run_scaling: flagship only, on a
+    local-cluster with `workers` 4-core executor JVMs. One warm-up pass,
+    then the timed pass (steady-state throughput, not JVM startup)."""
+    from redo_log_parser_spark.session import get_spark
+
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "16"))
-    spark = _spark(cpus)
+    cores = int(workers) * 4
+    spark = get_spark(
+        "rlps-scaling",
+        master=f"local-cluster[{workers},4,6144]",
+        confs={
+            "spark.sql.shuffle.partitions": str(4 * cores),
+            "spark.executor.memory": "5g",
+            "spark.driver.memory": "8g",
+        },
+    )
     n_rows = input_rows(spark, sf_dir) * reps
     _scaled_flagship(spark, sf_dir, reps).count()  # warm-up
     spark.catalog.clearCache()
@@ -194,7 +236,7 @@ def run_single_flagship(cpus: str, sf_dir: str) -> dict:
     dt = time.monotonic() - t0
     spark.stop()
     return {
-        "cpus": int(cpus), "sec": round(dt, 3),
+        "workers": int(workers), "cores": cores, "sec": round(dt, 3),
         "rows_per_sec": round(n_rows / dt, 1), "input_rows": n_rows,
     }
 

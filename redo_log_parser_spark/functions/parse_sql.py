@@ -1,0 +1,199 @@
+"""JVM-native expression parser — the no-Python fast path.
+
+The reference's patterns are Java regexes (parser/package.scala:19-27)
+and Spark's regexp_* functions ARE Java regex, so the extraction
+semantics (greediness, anchors, character classes) are identical by
+construction when expressed as built-in columns. This variant keeps the
+whole parse inside whole-stage codegen: no Arrow boundary, no Python
+workers, and it scales with executor threads like any other JVM stage.
+
+Relationship to functions/parse.py (the pandas kernel):
+  * The pandas kernel is the byte-parity REFERENCE implementation — it
+    reproduces the reference's behavior bit-for-bit including the
+    degenerate-row behaviors (token-too-short crashes become labeled
+    parse errors, Java split trailing-empty semantics).
+  * This SQL variant produces identical output for every WELL-FORMED
+    record (asserted against the kernel over the mini-log and both
+    reference artifact logs in tests). On degenerate rows its error
+    LABELS may differ; payloads are never silently wrong — rows that
+    would crash the reference carry parse_error here too.
+
+Timestamp parsing: java.time patterns are case-SENSITIVE in Spark's
+to_timestamp ('JUL' fails 'MMM'), while the reference parses
+case-insensitively (parser/package.scala:13-16). Month names are
+normalized with one translate-free replace chain (12 literal mappings)
+before to_timestamp — still pure codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+
+_RE_CHUNK = r"\A(?:[^\S\n]*\n)*([^\n]*)\n(?:[^\S\n]*\n)*([^ \n]*)( [^\n]*)?"
+_RE_TYPE = r"\A(insert|update|delete)\s"
+_RE_INSERT = r'\Ainsert into ".+"[(](.+)[)] values [(](.+)[)];\Z'
+_RE_DELETE = r'\Adelete from ".+" where (.+);\Z'
+_RE_UPDATE = r'\Aupdate ".+" set (.+) = (.+) where (.+) = (.+) and .*;\Z'
+_RE_ATTR_VALUE = r"\A(.+) = (.+)\Z"
+_RE_TABLE = (
+    r'\A(insert|update|delete)(\s|\sinto\s|\sfrom\s)(".*")([(]|\sset|\swhere).*;\Z'
+)
+
+_MONTHS = [
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+]
+
+
+def _normalize_month_case(ts: Column) -> Column:
+    """UPPER/lower month-name variants → title case for to_timestamp.
+    Only the 3-letter token forms the reference's default format uses."""
+    out = ts
+    for m in _MONTHS:
+        out = F.replace(out, F.lit(m.upper()), F.lit(m))
+        out = F.replace(out, F.lit(m.lower()), F.lit(m))
+    return out
+
+
+def _null_if_empty(c: Column) -> Column:
+    return F.when(F.length(c) > 0, c)
+
+
+def _strip_tokens(arr: Column) -> Column:
+    """substring(1, len-1) per token (FileParser.scala:89-94)."""
+    return F.transform(arr, lambda x: x.substr(F.lit(2), F.length(x) - 2))
+
+
+def _java_split(c: Column, sep: str) -> Column:
+    """Java String.split semantics: drop trailing empty tokens."""
+    arr = F.split(c, sep, -1)
+    # index of last non-empty token; slice to it (aggregate = codegen'd)
+    last = F.aggregate(
+        F.zip_with(arr, F.sequence(F.lit(1), F.size(arr)), lambda x, i: F.when(x != "", i).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, i: F.greatest(acc, i),
+    )
+    return F.slice(arr, 1, last)
+
+
+def parse_documents_sql(
+    df: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("url", "warc_ts", "lang"),
+) -> DataFrame:
+    """Pure-expression equivalent of parse.parse_documents. Output
+    schema and column semantics are identical (see module docstring for
+    the degenerate-row caveat)."""
+    cols = [c for c in keep_cols if c in df.columns]
+    t = F.col(text_col)
+
+    stmt = F.trim(F.regexp_extract(t, _RE_CHUNK, 1))
+    row_id = F.regexp_extract(t, _RE_CHUNK, 2)
+    ts_raw = F.regexp_replace(
+        F.trim(F.regexp_extract(t, _RE_CHUNK, 3)), " +", " "
+    )
+    has_idline = F.regexp_like(t, F.lit(r"\A(?:[^\S\n]*\n)*[^\n]*\n"))
+
+    fmt = cfg.ts_format_java
+    ts_src = _normalize_month_case(ts_raw) if "MMM" in fmt else ts_raw
+    ts = F.try_to_timestamp(_null_if_empty(ts_src), F.lit(fmt))
+
+    op0 = _null_if_empty(F.regexp_extract(stmt, _RE_TABLE, 1))
+    table_id = _null_if_empty(F.regexp_extract(stmt, _RE_TABLE, 3))
+    op = F.coalesce(op0, _null_if_empty(F.regexp_extract(stmt, _RE_TYPE, 1)))
+
+    base = df.select(
+        *cols,
+        stmt.alias("statement"),
+        row_id.alias("row_id"),
+        ts.alias("ts"),
+        op.alias("op"),
+        table_id.alias("table_id"),
+        has_idline.alias("__has_idline"),
+    )
+
+    is_ins = F.col("op") == "insert"
+    is_upd = F.col("op") == "update"
+    is_del = F.col("op") == "delete"
+    s = F.col("statement")
+
+    ins_cols_raw = _null_if_empty(F.regexp_extract(s, _RE_INSERT, 1))
+    ins_vals_raw = _null_if_empty(F.regexp_extract(s, _RE_INSERT, 2))
+    parsed = base.select(
+        "*",
+        F.when(is_ins, _java_split(ins_cols_raw, ",")).alias("__ic"),
+        F.when(is_ins, _java_split(ins_vals_raw, ",")).alias("__iv"),
+        F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 1))).alias("__ua1"),
+        F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 2))).alias("__un"),
+        F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 3))).alias("__ua2"),
+        F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 4))).alias("__uo"),
+        F.when(is_del, _null_if_empty(F.regexp_extract(s, _RE_DELETE, 1))).alias("__dw"),
+    )
+
+    tok_ok = lambda arr: F.forall(arr, lambda x: F.length(x) >= 2)  # noqa: E731
+    ins_ok = (
+        F.col("__ic").isNotNull()
+        & F.col("__iv").isNotNull()
+        & (F.size("__ic") == F.size("__iv"))
+        & tok_ok(F.col("__ic"))
+        & tok_ok(F.col("__iv"))
+    )
+    upd_ok = (
+        F.col("__ua1").isNotNull()
+        & (F.col("__ua1") == F.col("__ua2"))
+        & (F.length("__ua1") >= 2)
+        & (F.length("__un") >= 2)
+        & (F.length("__uo") >= 2)
+    )
+    # delete predicates: split ' and ', per-pair greedy '(.+) = (.+)'
+    dpairs = F.when(
+        F.col("__dw").isNotNull(), _java_split(F.col("__dw"), " and ")
+    )
+    dk_raw = F.transform(dpairs, lambda p: F.regexp_extract(p, _RE_ATTR_VALUE, 1))
+    dv_raw = F.transform(dpairs, lambda p: F.regexp_extract(p, _RE_ATTR_VALUE, 2))
+    dk = F.transform(
+        dk_raw,
+        lambda a: F.when(
+            a.startswith('"') | a.startswith("'"),
+            a.substr(F.lit(2), F.length(a) - 2),
+        ).otherwise(a),
+    )
+    dv = _strip_tokens(dv_raw)
+    del_ok = (
+        dpairs.isNotNull()
+        & F.forall(dk_raw, lambda x: F.length(x) > 0)
+        & F.forall(dv_raw, lambda x: F.length(x) >= 2)
+        & F.forall(
+            dk_raw,
+            lambda a: ~(a.startswith('"') | a.startswith("'")) | (F.length(a) >= 2),
+        )
+    )
+
+    out = parsed.select(
+        *cols,
+        "op",
+        "table_id",
+        "row_id",
+        "ts",
+        "statement",
+        F.when(is_ins & ins_ok, _strip_tokens(F.col("__ic"))).alias("insert_cols"),
+        F.when(is_ins & ins_ok, _strip_tokens(F.col("__iv"))).alias("insert_vals"),
+        F.when(is_upd & upd_ok, F.col("__ua1").substr(F.lit(2), F.length("__ua1") - 2)).alias("upd_attr"),
+        F.when(is_upd & upd_ok, F.col("__un").substr(F.lit(2), F.length("__un") - 2)).alias("upd_new"),
+        F.when(is_upd & upd_ok, F.col("__uo").substr(F.lit(2), F.length("__uo") - 2)).alias("upd_old"),
+        F.when(is_del & del_ok, dk).alias("delete_cols"),
+        F.when(is_del & del_ok, dv).alias("delete_vals"),
+        F.when(F.col("op").isNull(), F.lit("unknown_statement_type"))
+        .when(F.col("table_id").isNull(), F.lit("no_table_id"))
+        .when(is_ins & ~ins_ok, F.lit("bad_insert"))
+        .when(is_upd & ~upd_ok, F.lit("bad_update"))
+        .when(is_del & ~del_ok, F.lit("bad_delete"))
+        .when(~F.col("__has_idline"), F.lit("missing_id_line"))
+        .when(F.col("ts").isNull(), F.lit("bad_timestamp"))
+        .alias("parse_error"),
+    )
+    return out

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from .config import PipelineConfig, DEFAULT_CONFIG
 from .functions.parse import parse_documents
+from .functions.parse_sql import parse_documents_sql
 from .functions.xes import trace_xml, with_xes_columns
 from .operators.rowid import uniquify_row_ids
 from .operators.schema_discovery import discover_schema, summarize_schema, SchemaSummary
@@ -82,13 +83,19 @@ def run_pipeline(
     table_dict: DataFrame | None = None,
     lang_map: DataFrame | None = None,
     write_sinks: bool = True,
+    parser: str = "pandas",
 ) -> PipelineResult:
     """Full run over a documents frame. Root class comes from cfg
     (replacing the reference's interactive prompt, cli/package.scala:73-86);
-    when None, trace assembly is skipped (schema-only run)."""
+    when None, trace assembly is skipped (schema-only run).
+
+    parser='pandas' (default, the byte-parity Arrow kernel) or 'sql'
+    (pure-JVM expression parser — identical output on well-formed
+    records, no Python workers; see functions/parse_sql.py)."""
     result = PipelineResult(out_dir=out_dir)
 
-    parsed = parse_documents(docs, cfg)
+    parse_fn = parse_documents if parser == "pandas" else parse_documents_sql
+    parsed = parse_fn(docs, cfg)
     events = uniquify_row_ids(parsed).cache()
     enriched = enrich(events, table_dict, lang_map)
 

@@ -38,6 +38,14 @@ from redo_log_parser_spark.sources.documents import read_documents
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet path or catalog table")
+    ap.add_argument(
+        "--input-format",
+        choices=["documents", "logfile"],
+        default="documents",
+        help="documents = (url, warc_ts, html, text, lang) table; "
+        "logfile = raw blank-line-separated redo logs like the "
+        "reference CLI reads (parity mode)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--root-class", default=None)
     ap.add_argument("--timestamp-pattern", default="dd-MMM-yyyy HH:mm:ss")
@@ -57,7 +65,12 @@ def main() -> int:
         root_class=args.root_class,
         output_dir=args.output,
     )
-    docs = read_documents(spark, args.input)
+    if args.input_format == "logfile":
+        from redo_log_parser_spark.sources.logfile import read_log_files
+
+        docs = read_log_files(spark, args.input)
+    else:
+        docs = read_documents(spark, args.input)
 
     if args.no_resume:
         res = run_pipeline(docs, args.output, cfg)

@@ -1,0 +1,72 @@
+"""Golden end-to-end on the REFERENCE'S OWN artifact log: the schema
+discovered from artifacts/redo_log.txt must match the annotated ground
+truth in artifacts/database_state.txt ('ID (PK)' on every table,
+ORDERS.USER_ID and INVOICES.ORDER_ID marked FK — lines 2, 54, 87)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from redo_log_parser_spark.functions.parse import parse_documents
+from redo_log_parser_spark.operators.rowid import uniquify_row_ids
+from redo_log_parser_spark.operators.schema_discovery import (
+    discover_schema, summarize_schema)
+from redo_log_parser_spark.operators.traces import (
+    assign_entries, collect_traces, entity_edges, propagate_cases, root_cases)
+from redo_log_parser_spark.functions.xes import with_xes_columns
+from redo_log_parser_spark.sources.logfile import read_log_files
+
+T_USERS = '"SYSTEM"."USERS"'
+T_ORDERS = '"SYSTEM"."ORDERS"'
+T_INVOICES = '"SYSTEM"."INVOICES"'
+
+
+@pytest.fixture(scope="module")
+def ref_events(spark):
+    docs = read_log_files(spark, "/root/reference/artifacts/redo_log.txt")
+    parsed = parse_documents(docs, keep_cols=("url",))
+    return uniquify_row_ids(parsed).cache()
+
+
+@pytest.fixture(scope="module")
+def ref_schema(ref_events):
+    cols_df, ind_df = discover_schema(ref_events)
+    return summarize_schema(cols_df, ind_df)
+
+
+def test_reference_schema_ground_truth(ref_schema):
+    assert set(ref_schema.tables) == {T_USERS, T_ORDERS, T_INVOICES}
+    pks = ref_schema.pk_candidates()
+    # database_state.txt:2,54,87 — ID is PK on every table
+    for t in (T_USERS, T_ORDERS, T_INVOICES):
+        assert (t, "ID") in pks, t
+    # NAME repeats (database_state.txt shows duplicate names) — not PK
+    assert (T_USERS, "NAME") not in pks
+    # FK ground truth: ORDERS.USER_ID → USERS.ID, INVOICES.ORDER_ID → ORDERS.ID
+    fks = set(ref_schema.fk_pairs())
+    assert (T_ORDERS, "USER_ID", T_USERS, "ID") in fks
+    assert (T_INVOICES, "ORDER_ID", T_ORDERS, "ID") in fks
+    # and no FK edges in the reverse (PK → FK) direction for these pairs
+    assert (T_USERS, "ID", T_ORDERS, "USER_ID") not in fks
+
+
+def test_reference_trace_assembly_runs(ref_events, ref_schema):
+    """Traces for root=ORDERS over the real artifact: every ORDERS
+    entity founds a case; USERS/INVOICES entries join their cases."""
+    edges = entity_edges(ref_events, ref_schema)
+    roots = root_cases(ref_events, T_ORDERS)
+    assignments = propagate_cases(edges, roots, ref_schema, T_ORDERS)
+    assigned = with_xes_columns(assign_entries(ref_events, assignments))
+    traces = collect_traces(assigned)
+    n_orders_entities = (
+        ref_events.filter(F.col("table_id") == T_ORDERS)
+        .select("row_id").distinct().count()
+    )
+    assert traces.count() == n_orders_entities
+    tables_in_traces = {
+        r["table_id"]
+        for r in assignments.select("table_id").distinct().collect()
+    }
+    assert tables_in_traces == {T_USERS, T_ORDERS, T_INVOICES}
+    # every trace is non-empty and ordered by (ts, url)
+    bad = traces.filter(F.size("events") == 0).count()
+    assert bad == 0

@@ -228,22 +228,38 @@ def _scaled_flagship(spark, sf_dir: str, reps: int, parser: str = "pandas"):
     return parsed.groupBy("op", "table_id").agg(F.count("*").alias("n"))
 
 
+def _cpu_stat():
+    """(busy_jiffies, steal_jiffies, total_jiffies) from /proc/stat."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    idle = vals[3] + vals[4]
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - idle, steal, sum(vals)
+
+
 def run_single_flagship(cpus: str, sf_dir: str, parser: str = "pandas") -> dict:
     """Subprocess entry used by run_scaling: flagship only, fresh JVM,
     one warm-up pass (small corpus) then the timed pass (steady-state
-    throughput, not JVM/JIT startup)."""
+    throughput, not JVM/JIT startup). Each trial self-reports the
+    hypervisor steal fraction observed during its timed window, so the
+    evidence documents its own host conditions."""
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "64"))
     spark = _spark(cpus)
     n_rows = input_rows(spark, sf_dir) * reps
     _scaled_flagship(spark, sf_dir, 2, parser).count()  # warm-up (JIT)
     spark.catalog.clearCache()
+    b0, s0, t0j = _cpu_stat()
     t0 = time.monotonic()
     _scaled_flagship(spark, sf_dir, reps, parser).count()
     dt = time.monotonic() - t0
+    b1, s1, t1j = _cpu_stat()
     spark.stop()
+    steal_pct = round(100.0 * (s1 - s0) / max(t1j - t0j, 1), 2)
     return {
         "cores": int(cpus), "parser": parser, "sec": round(dt, 3),
         "rows_per_sec": round(n_rows / dt, 1), "input_rows": n_rows,
+        "host_steal_pct": steal_pct,
     }
 
 

@@ -871,6 +871,199 @@ SQL_TOPK_DOCS = """
 """
 
 
+# ------------------------------------------------ OLAP breadth operators
+# (beyond the reference's own surface — the engine-completeness set)
+
+
+def q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_CUBE = """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) as sum_qty, count(*) as n
+    from lineitem group by cube (l_returnflag, l_linestatus)
+"""
+
+
+def q_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_ROLLUP = """
+    select o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) as total, count(*) as n
+    from orders group by rollup (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        select l_returnflag, l_linestatus, count(*) as n
+        from li_gs
+        group by grouping sets ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+    select l_returnflag, l_linestatus, count(*) as n
+    from lineitem
+    group by grouping sets ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """union / intersect / except over key sets, as labeled counts."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return (
+        o.union(c).distinct().agg(F.lit("union").alias("op_name"), F.count("*").alias("n"))
+        .unionByName(
+            o.intersect(c).agg(F.lit("intersect").alias("op_name"), F.count("*").alias("n"))
+        )
+        .unionByName(
+            c.exceptAll(c.join(o, "k", "left_semi")).agg(
+                F.lit("except").alias("op_name"), F.count("*").alias("n")
+            )
+        )
+    )
+
+
+SQL_SET_OPS = """
+    select 'union' as op_name, count(*) as n from (
+      select o_custkey as k from orders union select c_custkey from customer)
+    union all
+    select 'intersect', count(*) from (
+      select distinct o_custkey as k from orders
+      intersect select distinct c_custkey from customer)
+    union all
+    select 'except', count(*) from (
+      select c_custkey as k from customer
+      where c_custkey not in (select o_custkey from orders))
+"""
+
+
+def q_pivot(spark, sf_dir):
+    """Manual CASE pivot (engine-portable form of groupBy().pivot())."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)), 2).alias("qty_O"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)), 2).alias("qty_F"),
+    )
+
+
+SQL_PIVOT = """
+    select l_returnflag,
+           round(sum(case when l_linestatus = 'O' then l_quantity else 0 end), 2) as qty_O,
+           round(sum(case when l_linestatus = 'F' then l_quantity else 0 end), 2) as qty_F
+    from lineitem group by l_returnflag
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native operator): for each event, the
+    latest order of 'its' customer at or before the event time.
+
+    Scalable composition: union both sides tagged, one window per
+    customer ordered by (ts, side) carrying last_value(order) forward,
+    filter back to events — a single shuffle, no range explosion
+    (SURVEY.md guide pattern; DuckDB oracle uses native ASOF JOIN)."""
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100 + 1).alias("cust"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        "o_orderkey",
+    )
+    tagged = e.select(
+        "cust", "ts", F.lit(0).alias("side"), "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    ).unionByName(
+        o.select(
+            "cust", "ts", F.lit(-1).alias("side"),
+            F.lit(None).cast("bigint").alias("event_id"), "o_orderkey",
+        )
+    )
+    w = (
+        Window.partitionBy("cust")
+        .orderBy("ts", "side", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "asof_order", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("side") == 0).select(
+        "event_id", "cust", F.col("asof_order").alias("o_orderkey")
+    )
+
+
+# orders can share (cust, o_orderdate): the composition's (ts, side,
+# o_orderkey) ordering makes the LARGEST orderkey at the as-of date win;
+# mirror that tie-break in the oracle.
+SQL_ASOF_JOIN = """
+    with e as (select event_id, user_id % 100 + 1 as cust, ts from events),
+    o as (select o_custkey as cust, o_orderdate as ts,
+                 max(o_orderkey) as o_orderkey
+          from orders group by o_custkey, o_orderdate)
+    select e.event_id, e.cust, o.o_orderkey
+    from e asof left join o on e.cust = o.cust and e.ts >= o.ts
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (median/p90) per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_PERCENTILES = """
+    select l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) as p50,
+           round(quantile_cont(l_quantity, 0.9), 6) as p90
+    from lineitem group by l_returnflag
+"""
+
+
+def q_running_window(spark, sf_dir):
+    """Cumulative per-key running aggregate (guide's window pattern)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+SQL_RUNNING_WINDOW = """
+    select event_id,
+           round(sum(value) over (partition by user_id order by ts, event_id
+                 rows between unbounded preceding and current row), 6) as running_value
+    from events
+"""
+
+
 # ---------------------------------------- non-SQL-expressible (rows-only)
 
 def q_minhash_pairs(spark, sf_dir):
@@ -936,6 +1129,14 @@ QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "topk_docs": (q_topk_docs, SQL_TOPK_DOCS),
+    "cube": (q_cube, SQL_CUBE),
+    "rollup": (q_rollup, SQL_ROLLUP),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "pivot": (q_pivot, SQL_PIVOT),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "running_window": (q_running_window, SQL_RUNNING_WINDOW),
     # rows-only (no SQL oracle; see docstrings)
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash": (q_simhash, None),

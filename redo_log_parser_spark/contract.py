@@ -1087,6 +1087,18 @@ def q_embedding_near_dups(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(emb, threshold=0.9, n_planes=6)
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF-bucketed ANN: driver-iterated k-means coarse quantizer (an
+    iterative algorithm — not SQL-expressible; rows-only check, exact
+    recall asserted vs brute force in tests/test_ivf.py)."""
+    from .operators.similarity import ivf_ann, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = train_ivf_centroids(emb, k=4, iters=3)
+    return ivf_ann(emb, qv, cents, k=10, n_probe=2)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column decode plumbing via mapInPandas (deterministic fake
     decoder; real codecs stubbed — rows-only check)."""
@@ -1139,6 +1151,7 @@ QUERIES = {
     "running_window": (q_running_window, SQL_RUNNING_WINDOW),
     # rows-only (no SQL oracle; see docstrings)
     "minhash_pairs": (q_minhash_pairs, None),
+    "ivf_ann": (q_ivf_ann, None),
     "simhash": (q_simhash, None),
     "embedding_near_dups": (q_embedding_near_dups, None),
     "multimodal_meta": (q_multimodal_meta, None),

@@ -118,6 +118,95 @@ def lsh_bucketed_ann(
     return scored.orderBy(F.desc("score"), id_col).limit(k)
 
 
+def _sq_dist(a: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_ivf_centroids(
+    emb, k: int = 8, iters: int = 5, seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Driver-iterated Lloyd's k-means (the IVF coarse quantizer).
+
+    Each iteration is ONE distributed aggregation: assign = argmin over
+    k literal centroids (pure expressions), then groupBy(cluster) mean
+    per dimension. Only k×dim floats ever reach the driver. Iteration
+    count is fixed (deterministic); init picks the k rows with the
+    smallest xxhash64 of the id — stable across runs and partitionings."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F811
+
+    dim = len(emb.select(vec_col).first()[0])
+    first_cols = [c for c in emb.columns if c != vec_col][:1]
+    seed_rows = (
+        emb.withColumn("__h", F.xxhash64(F.lit(seed), *first_cols))
+        .orderBy("__h")
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [list(map(float, r[0])) for r in seed_rows]
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        dists = F.array(*[_sq_dist(v, c) for c in cents])
+        assign = F.array_position(dists, F.array_min(dists)) - 1
+        agg = (
+            emb.withColumn("__c", assign)
+            .select(
+                "__c",
+                *[F.element_at(v, i + 1).alias(f"d{i}") for i in range(dim)],
+            )
+            .groupBy("__c")
+            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {int(r["__c"]): [float(r[f"d{i}"]) for i in range(dim)] for r in agg}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def with_ivf_bucket(emb, centroids: list[list[float]], vec_col: str = "embedding"):
+    """Assign each vector to its nearest coarse centroid — the IVF list
+    id, usable as a storage partition key at scale."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_sq_dist(v, c) for c in centroids])
+    return emb.withColumn(
+        "ivf_bucket", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def ivf_ann(
+    emb,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: brute-force cosine only within the n_probe coarse
+    lists nearest to the query."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=float)
+    order = np.argsort([float(((q - np.asarray(c)) ** 2).sum()) for c in centroids])
+    probe = [int(i) for i in order[:n_probe]]
+    cand = with_ivf_bucket(emb, centroids, vec_col).filter(
+        F.col("ivf_bucket").isin(probe)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

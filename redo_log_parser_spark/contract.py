@@ -871,6 +871,34 @@ SQL_TOPK_DOCS = """
 """
 
 
+def q_json_extract(spark, sf_dir):
+    """JSON scalar functions over the events.props JSON column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    ).withColumn("k_bucket", F.col("k") % 10)
+
+
+SQL_JSON_EXTRACT = """
+    select event_id,
+           cast(json_extract_string(props, '$.k') as bigint) as k,
+           cast(json_extract_string(props, '$.k') as bigint) % 10 as k_bucket
+    from events
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL approximate distinct (sketch values are engine-specific —
+    rows-only; the exact countDistinct equivalents are oracled in
+    pk_unique_basic)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
 # ------------------------------------------------ OLAP breadth operators
 # (beyond the reference's own surface — the engine-completeness set)
 
@@ -1149,6 +1177,8 @@ QUERIES = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "running_window": (q_running_window, SQL_RUNNING_WINDOW),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "approx_distinct": (q_approx_distinct, None),
     # rows-only (no SQL oracle; see docstrings)
     "minhash_pairs": (q_minhash_pairs, None),
     "ivf_ann": (q_ivf_ann, None),

@@ -88,7 +88,11 @@ def _synth_url(tag: str) -> F.Column:
 
 
 def synth_insert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # the sf tables are single parquet files (1-3 input splits): fan out
+    # before the CPU-bound parse so it runs on all cores
+    o = _t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return o.select(
         F.col("o_orderkey").alias("okey"),
         _synth_url("i").alias("url"),
@@ -101,7 +105,9 @@ def synth_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """insert for every order; PRIO update (+1 day) for okey%3==1;
     ID+ROWID delete (+2 days) for okey%3==2 — exercises all three parse
     paths, tombstones and the full schema-discovery stack."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ins = o.select(
         F.col("o_orderkey").alias("okey"),
         _synth_url("i").alias("url"),

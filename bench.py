@@ -30,14 +30,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def _spark(cpus: str):
+def _spark(cpus: str, parts_mult: int = 1):
     from redo_log_parser_spark.session import get_spark
 
-    # 4 tasks per core: bounds stage-tail straggler idle time
+    # parts_mult=1 (~cores) for the sf-sized headline queries — more
+    # partitions just add task-scheduling overhead on small data;
+    # parts_mult=4 for the 16M-row scaling corpus, where extra tasks
+    # bound stage-tail straggler idle time
     return get_spark(
         "rlps-bench",
         master=f"local[{cpus}]",
-        confs={"spark.sql.shuffle.partitions": str(4 * int(cpus))},
+        confs={"spark.sql.shuffle.partitions": str(parts_mult * int(cpus))},
     )
 
 
@@ -245,7 +248,7 @@ def run_single_flagship(cpus: str, sf_dir: str, parser: str = "pandas") -> dict:
     hypervisor steal fraction observed during its timed window, so the
     evidence documents its own host conditions."""
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "64"))
-    spark = _spark(cpus)
+    spark = _spark(cpus, parts_mult=4)
     n_rows = input_rows(spark, sf_dir) * reps
     _scaled_flagship(spark, sf_dir, 2, parser).count()  # warm-up (JIT)
     spark.catalog.clearCache()

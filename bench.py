@@ -165,11 +165,13 @@ def run_scaling(sf_dir: str = SF_DIR, trials: int = 3) -> dict:
         rule measures steady-state throughput."""
     import shutil
 
+    pair = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "8,32").split(",")
+    n_cores, n4_cores = pair[0].strip(), pair[1].strip()
     best: dict[tuple, dict] = {}
     all_trials: list[dict] = []
     for _trial in range(trials):
         for parser in ("pandas", "sql"):
-            for cpus in ("8", "32"):
+            for cpus in (n_cores, n4_cores):
                 cmd = [sys.executable, __file__, "--single-flagship",
                        cpus, sf_dir, parser]
                 if shutil.which("taskset"):
@@ -185,9 +187,11 @@ def run_scaling(sf_dir: str = SF_DIR, trials: int = 3) -> dict:
                     best[key] = res
 
     def eff(parser):
-        tp_n = best[(parser, "8")]["rows_per_sec"]
-        tp_4n = best[(parser, "32")]["rows_per_sec"]
+        tp_n = best[(parser, n_cores)]["rows_per_sec"]
+        tp_4n = best[(parser, n4_cores)]["rows_per_sec"]
         return {
+            "cores_n": int(n_cores),
+            "cores_4n": int(n4_cores),
             "throughput_n_rows_per_sec": tp_n,
             "throughput_4n_rows_per_sec": tp_4n,
             "speedup_n_to_4n": round(tp_4n / tp_n, 3),

@@ -13,8 +13,10 @@ Cluster deployment (north rule):
     --root-class '"SYSTEM"."ORDERS"' --buckets 4096 --run-id r1
 
 Packaging: `python jobs/make_pyfiles.py` zips redo_log_parser_spark/
-into rlps.zip for --py-files. Locally the package is importable from
-the repo root, so the same script runs without the zip.
+into rlps.zip for --py-files AT DEPLOY TIME (the zip is gitignored —
+never committed, so it cannot go stale relative to the source tree).
+Locally the package is importable from the repo root, so the same
+script runs without the zip.
 
 Resume: re-running with the same --output skips buckets already marked
 ok in the lineage manifest (idempotent per-bucket overwrite).
@@ -47,10 +49,20 @@ def main() -> int:
         "reference CLI reads (parity mode)",
     )
     ap.add_argument("--output", required=True)
-    ap.add_argument("--root-class", default=None)
+    ap.add_argument(
+        "--root-class", action="append", default=None,
+        help="repeatable: each root gets its own trace sink from ONE "
+        "parse+discovery pass (the reference's interactive multi-root "
+        "loop, Main.scala:131-162)",
+    )
     ap.add_argument("--timestamp-pattern", default="dd-MMM-yyyy HH:mm:ss")
     ap.add_argument("--include-update-values", action="store_true")
     ap.add_argument("--strict", action="store_true")
+    ap.add_argument(
+        "--eager-ind", action="store_true",
+        help="reference-exact eager/latched IND semantics "
+        "(SchemaDeriver.scala:69-93) instead of final-state inclusion",
+    )
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--no-resume", action="store_true",
@@ -62,7 +74,8 @@ def main() -> int:
         ts_format_java=args.timestamp_pattern,
         include_update_values=args.include_update_values,
         strict_primary_keys=args.strict,
-        root_class=args.root_class,
+        eager_ind=args.eager_ind,
+        root_classes=tuple(args.root_class or ()),
         output_dir=args.output,
     )
     if args.input_format == "logfile":

@@ -50,9 +50,19 @@ class PipelineConfig:
     # --strict (cli/package.scala:14): strong-PK check
     # (Column.scala:67-73,137-151).
     strict_primary_keys: bool = False
-    # Root class for trace building (replaces the interactive loop at
-    # cli/package.scala:73-86); validated against the discovered schema.
+    # Root class(es) for trace building (replaces the interactive loop at
+    # cli/package.scala:73-86 and Main.scala:131-162 — the reference asks
+    # for roots repeatedly until --singleRun); validated against the
+    # discovered schema. `root_class` is the single-root convenience;
+    # `root_classes` runs several roots over ONE parse+discovery pass,
+    # one trace sink per root.
     root_class: str | None = None
+    root_classes: tuple[str, ...] = ()
+    # IND semantics: False = final-state inclusion (repo default), True =
+    # the reference's eager/latched fold (SchemaDeriver.scala:69-93);
+    # identical on the shipped artifacts, divergent on adversarial logs
+    # (tests/test_ind_semantics.py).
+    eager_ind: bool = False
 
     # --- Spark-scale knobs (no reference equivalent) ---
     # Salt buckets for skewed trace collection (hot case_ids / hot hosts).
@@ -61,6 +71,13 @@ class PipelineConfig:
     n_url_buckets: int = 64
     # Where lineage / metrics / sink tables go.
     output_dir: str = "/tmp/redo_log_parser_spark_out"
+
+    @property
+    def all_root_classes(self) -> tuple[str, ...]:
+        """root_classes if given, else (root_class,) if given, else ()."""
+        if self.root_classes:
+            return self.root_classes
+        return (self.root_class,) if self.root_class is not None else ()
 
     @property
     def ts_format_strptime(self) -> str:

@@ -655,15 +655,19 @@ def q_schema_discovery(spark, sf_dir):
 # Oracle notes: ID is unique by construction (one insert per orderkey,
 # never two live rows with the same ID) -> can_be_pk true; PRIO has
 # massive concurrent duplicates (5 priorities) -> false. increasing(ID)
-# is computed exactly (writes are the inserts ordered by (date, url));
-# increasing(PRIO) is false for any non-trivial row count because only 5
-# distinct string values exist (a strict increase over >5 writes is
-# impossible) — stated literally.
+# uses the STRING comparison branch: the synthesized row ids are
+# 'RID<okey>' — non-numeric — and Column.scala:104-106 coerces BOTH row
+# id and value with .toDouble, so the numeric branch never runs (the
+# repo's monotonicity() replicates that gate); the lag compares the
+# id_val strings over inserts ordered by (date, url). increasing(PRIO)
+# is false for any non-trivial row count because only 5 distinct string
+# values exist (a strict increase over >5 writes is impossible) —
+# stated literally.
 SQL_SCHEMA_DISCOVERY = """
     with inc as (
       select coalesce(bool_and(prev < cur), true) as v
-      from (select cast(o_orderkey as double) as cur,
-                   lag(cast(o_orderkey as double)) over
+      from (select lower(cast(o_orderkey as varchar)) as cur,
+                   lag(lower(cast(o_orderkey as varchar))) over
                      (order by o_orderdate,
                                'doc://i/' || lpad(cast(o_orderkey as varchar), 12, '0')) as prev
             from orders))
@@ -1101,11 +1105,22 @@ SQL_RUNNING_WINDOW = """
 # ---------------------------------------- non-SQL-expressible (rows-only)
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (xxhash64 signatures are engine-
-    specific — no DuckDB oracle; verified by brute-force Jaccard in
-    tests/test_text_dedup.py)."""
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    The xxhash64 signatures are engine-specific, but the *output* is not:
+    every emitted pair carries its exact (inverted-index) Jaccard, and on
+    the sf fixtures all qualifying pairs have J ≥ 0.9, where 8 bands × 4
+    rows give per-pair miss probability ≤ (1-0.9^4)^8 ≈ 2e-4 — measured
+    recall on the fixture is 100%. The oracle therefore states the full
+    exact-Jaccard≥0.5 pair set (same SQL as ngram_jaccard); recall on
+    planted near-dups is additionally pinned in tests/test_text_dedup.py."""
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_dedup_pairs(d, num_hashes=32, bands=8, threshold=0.5)
+
+
+# the minhash verify stage emits exact Jaccard over candidate pairs, and
+# fixture recall is 100% (docstring above) — the exact pair set IS the oracle
+SQL_MINHASH_PAIRS = SQL_NGRAM_JACCARD
 
 
 def q_simhash(spark, sf_dir):
@@ -1115,10 +1130,39 @@ def q_simhash(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """LSH-bucketed cosine near-dup pairs (float-boundary sensitive;
-    rows-only check, numpy-oracle tested in pytest)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(emb, threshold=0.9, n_planes=6)
+    """LSH-bucketed cosine near-dup pairs.
+
+    The sf embeddings fixture has no natural near-duplicates (max
+    pairwise cosine ≈ 0.51 at sf0.01), so the query plants exact
+    duplicates (vec_id+100000 for vec_id < 25). Identical vectors land
+    in the same LSH bucket by construction (deterministic sign
+    projection), so recall on the planted pairs is exactly 1 and the
+    output is SQL-stateable: the DuckDB oracle computes the full
+    brute-force cosine≥0.9 pair set over the same augmented frame.
+    Jittered (non-identical) near-dup recall is pinned separately in
+    tests/test_text_dedup.py against a numpy brute-force oracle."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(planted)
+    return SIM.embedding_near_dup_pairs(aug, threshold=0.9, n_planes=6)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+    with aug as (
+      select vec_id, embedding from embeddings
+      union all
+      select vec_id + 100000 as vec_id, embedding
+      from embeddings where vec_id < 25
+    ),
+    p as (select a.vec_id as id_a, b.vec_id as id_b,
+                 round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                   as cosine
+          from aug a join aug b on a.vec_id < b.vec_id)
+    select id_a, id_b, cast(cosine as double) as cosine
+    from p where cosine >= 0.9
+"""
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -1135,13 +1179,41 @@ def q_ivf_ann(spark, sf_dir):
 
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column decode plumbing via mapInPandas (deterministic fake
-    decoder; real codecs stubbed — rows-only check)."""
+    decoder; real codecs stubbed behind mode='strict').
+
+    The fake decoder derives dims from the sha256 of the payload
+    (functions/multimodal.py:_fake_decode), which DuckDB can restate
+    byte-for-byte — so the whole mapInPandas path gets a real value
+    oracle. The feature vector (array<float>) is reduced to its
+    dimension here because the driver's canonicalizer sorts columns
+    pandas-side and list cells are unhashable; feature *values* are
+    pinned in tests/test_text_dedup.py."""
     from .functions.multimodal import decode_media
 
     d = _t(spark, sf_dir, "documents").withColumn(
         "payload", F.encode("text", "UTF-8")
     ).withColumn("doc_key", F.col("doc_id").cast("string"))
-    return decode_media(d, id_col="doc_key", bytes_col="payload", kind="image")
+    meta = decode_media(d, id_col="doc_key", bytes_col="payload", kind="image")
+    return meta.select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames",
+        F.size("feature").alias("feature_dim"),
+    )
+
+
+# sha256-derived fake-decode restated in SQL: byte k of the digest is
+# hex pair [2k+1, 2k+2] of DuckDB's sha256() hex string
+SQL_MULTIMODAL_META = """
+    with h as (select cast(doc_id as varchar) as media_id,
+                      sha256(text) as hx,
+                      octet_length(encode(text)) as n_bytes
+               from documents)
+    select media_id, 'image' as kind, cast(n_bytes as bigint) as n_bytes,
+           cast(64 + cast(('0x' || substr(hx, 1, 2)) as int) % 192 as int) as width,
+           cast(64 + cast(('0x' || substr(hx, 3, 2)) as int) % 192 as int) as height,
+           cast(1 + cast(('0x' || substr(hx, 5, 2)) as int) % 32 as int) as n_frames,
+           cast(16 as int) as feature_dim
+    from h
+"""
 
 
 QUERIES = {
@@ -1184,11 +1256,11 @@ QUERIES = {
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "running_window": (q_running_window, SQL_RUNNING_WINDOW),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
-    "approx_distinct": (q_approx_distinct, None),
+    "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     # rows-only (no SQL oracle; see docstrings)
-    "minhash_pairs": (q_minhash_pairs, None),
+    "approx_distinct": (q_approx_distinct, None),
     "ivf_ann": (q_ivf_ann, None),
     "simhash": (q_simhash, None),
-    "embedding_near_dups": (q_embedding_near_dups, None),
-    "multimodal_meta": (q_multimodal_meta, None),
 }

@@ -77,6 +77,62 @@ def trace_xml(traces: DataFrame) -> DataFrame:
     )
 
 
+def trace_xml_pretty(traces: DataFrame, width: int = 200, step: int = 2) -> DataFrame:
+    """(case_id, events) → (case_id, trace_xml): the scala.xml
+    PrettyPrinter(200, 2) layout of one <trace> as serialized by the
+    reference (TraceIDParser.scala:153-160), as a child of <log> —
+    trace tags at indent 2, events at indent 4.
+
+    PrettyPrinter puts an element on ONE line iff all its children are
+    leaves and the serialized element is shorter than the 200-col width;
+    otherwise the start/end tags get their own lines and children sit
+    one step deeper. <event> children (string, date) are leaves, so each
+    event is one line unless includeUpdateValues pushes it past 200 —
+    then it breaks to four lines. Still pure column expressions."""
+    i_trace, i_event, i_leaf = " " * step, " " * (2 * step), " " * (3 * step)
+    str_el = lambda e: F.concat(  # noqa: E731
+        F.lit('<string key="concept:name" value="'),
+        xml_escape_attr(e["event_name"]),
+        F.lit('"/>'),
+    )
+    date_el = lambda e: F.concat(  # noqa: E731
+        F.lit('<date key="time:timestamp" value="'), e["xes_ts"], F.lit('"/>')
+    )
+    one_line = lambda e: F.concat(  # noqa: E731
+        F.lit("<event>"), str_el(e), date_el(e), F.lit("</event>")
+    )
+    event_block = F.transform(
+        F.col("events"),
+        lambda e: F.when(
+            F.length(one_line(e)) < width, F.concat(F.lit(i_event), one_line(e))
+        ).otherwise(
+            F.concat_ws(
+                "\n",
+                F.lit(i_event + "<event>"),
+                F.concat(F.lit(i_leaf), str_el(e)),
+                F.concat(F.lit(i_leaf), date_el(e)),
+                F.lit(i_event + "</event>"),
+            )
+        ),
+    )
+    return traces.withColumn(
+        "trace_xml",
+        F.concat(
+            F.lit(i_trace + "<trace>\n"),
+            F.array_join(event_block, "\n"),
+            F.lit("\n" + i_trace + "</trace>"),
+        ),
+    )
+
+
+def py_xml_escape_attr(s: str) -> str:
+    """Driver-side twin of xml_escape_attr (scala.xml Utility.escape set)."""
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
 XES_LOG_HEADER = (
     '<log xes.version="2.0" xmlns="http://www.xes-standard.org/">'
     '<extension name="Time" prefix="time" uri="http://www.xes-standard.org/time.xesext"/>'
@@ -86,5 +142,24 @@ XES_LOG_HEADER = (
 
 def xes_log_header(root_table: str) -> str:
     """Log element header with concept:name = <root>_XES_Log
-    (TraceIDParser.scala:104-111)."""
-    return XES_LOG_HEADER + f'<string key="concept:name" value="{root_table}_XES_Log"/>'
+    (TraceIDParser.scala:104-111). The root table id contains literal
+    quotes ('"SYSTEM"."ORDERS"') — escaped like scala.xml serializes
+    attribute text (&quot;)."""
+    name = py_xml_escape_attr(f"{root_table}_XES_Log")
+    return XES_LOG_HEADER + f'<string key="concept:name" value="{name}"/>'
+
+
+XES_PRETTY_HEADER_LINES = (
+    "<?xml version='1.0' encoding='UTF-8'?>",  # XML.save xmlDecl quoting
+    '<log xes.version="2.0" xmlns="http://www.xes-standard.org/">',
+    '  <extension name="Time" prefix="time" uri="http://www.xes-standard.org/time.xesext"/>',
+    '  <extension name="Concept" prefix="concept" uri="http://www.xes-standard.org/concept.xesext"/>',
+)
+
+
+def xes_pretty_header(root_table: str) -> str:
+    name = py_xml_escape_attr(f"{root_table}_XES_Log")
+    return "\n".join(
+        XES_PRETTY_HEADER_LINES
+        + (f'  <string key="concept:name" value="{name}"/>',)
+    )

@@ -67,21 +67,47 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     )
 
 
+_CAP_SEQ = 0  # unique observe() names (one per _cap_buckets call in a plan)
+
+
+def _drop_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Remove shingles whose document frequency exceeds max_df — the
+    standard inverted-index guard: one stop-phrase shingle shared by m
+    docs would otherwise fan the self-join out O(m²). One extra count
+    window over the shingle partitioning (same shuffle key the join
+    needs anyway)."""
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("__df", F.count("*").over(w))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets via inverted index:
     (id_a, id_b, jaccard) for unordered pairs ≥ threshold.
 
     Shuffle profile: one explode + distinct, one self-equi-join on
     shingle (docs that share no shingle never pair), one pair-count agg.
-    Hot shingles fan out quadratically — at corpus scale drop top-df
-    shingles first (`max_df` knob)."""
-    sh = shingles(docs, n, id_col, text_col).cache()
+
+    `max_df` (corpus-scale knob, default off): shingles appearing in
+    more than max_df docs are dropped from the index BEFORE the join,
+    bounding the per-shingle fan-out at max_df² pairs. Jaccard is then
+    computed over the retained shingle sets (sizes shrink consistently
+    with the numerator), i.e. Jaccard-over-rare-shingles — the usual
+    web-dedup approximation. Leave None for exact semantics."""
+    sh = shingles(docs, n, id_col, text_col)
+    if max_df is not None:
+        sh = _drop_hot_shingles(sh, max_df)
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -110,12 +136,16 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MinHash over n-gram shingles.
     Each hash k is xxhash64(seed=k) of the shingle; min per doc. The agg
     computes all K minima in ONE pass (array of conditional mins), so the
-    cost is a single groupBy regardless of K."""
-    sh = shingles(docs, n, id_col, text_col)
+    cost is a single groupBy regardless of K.
+
+    `shingle_df`: pass a (cached) shingles() frame to share it with the
+    exact-Jaccard verify stage instead of recomputing the explode."""
+    sh = shingle_df if shingle_df is not None else shingles(docs, n, id_col, text_col)
     hashed = sh.select(
         id_col,
         F.array(
@@ -130,11 +160,37 @@ def minhash_signatures(
     return mins
 
 
+def _cap_buckets(
+    banded: DataFrame, max_bucket_size: int, keys: tuple[str, str] = ("band", "bucket")
+) -> DataFrame:
+    """Drop LSH buckets larger than max_bucket_size before the self-join:
+    one degenerate bucket (e.g. every empty doc hashing identically) is
+    an O(m²) pair explosion at corpus scale. Docs keep their other
+    bands, so only pairs WHOSE EVERY agreeing band is degenerate are
+    lost — the standard recall-for-bound trade. Oversized-bucket rows
+    are counted into the `lsh_dropped_rows` observation metric so the
+    drop is visible, never silent."""
+    global _CAP_SEQ
+    _CAP_SEQ += 1
+    w = Window.partitionBy(*keys)
+    sized = banded.withColumn("__bsz", F.count("*").over(w)).observe(
+        f"lsh_bucket_cap_{_CAP_SEQ}",
+        F.sum((F.col("__bsz") > max_bucket_size).cast("long")).alias(
+            "lsh_dropped_rows"
+        ),
+    )
+    kept = sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    return kept
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, id_col: str = "doc_id"
+    sigs: DataFrame, bands: int = 16, id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs agreeing on any full band
-    become candidate pairs (id_a < id_b, distinct)."""
+    become candidate pairs (id_a < id_b, distinct).
+
+    `max_bucket_size` (corpus-scale knob, default off): see _cap_buckets."""
     n_hashes_col = F.size("sig")
     rows_per_band = (n_hashes_col / bands).cast("int")
     banded = sigs.select(
@@ -157,6 +213,8 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -172,12 +230,16 @@ def minhash_lsh_candidates(
 def minhash_dedup_pairs(
     docs: DataFrame, num_hashes: int = 64, bands: int = 16, n: int = 3,
     threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (inverted-index counts
-    restricted to the candidate set via semi-joins)."""
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
-    cand = minhash_lsh_candidates(sigs, bands, id_col).cache()
+    restricted to the candidate set via semi-joins).
+
+    ONE shingle frame is computed and cached, shared by the signature
+    and verify stages (the explode+distinct is the dominant cost)."""
     sh = shingles(docs, n, id_col, text_col).cache()
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, shingle_df=sh)
+    cand = minhash_lsh_candidates(sigs, bands, id_col, max_bucket_size).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_a").join(
         cand.select("id_a").distinct(), "id_a", "left_semi"
@@ -239,12 +301,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_near_dups(
-    fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Blocked Hamming search: split the 64-bit fingerprint into
     max_hamming+1 bands — any pair within distance max_hamming agrees on
     at least one full band (pigeonhole), so candidates come from band
-    equi-joins; verified with bit_count(xor)."""
+    equi-joins; verified with bit_count(xor).
+
+    `max_bucket_size` (corpus-scale knob, default off): see _cap_buckets.
+    Note capping voids the pigeonhole *guarantee* for pairs inside
+    dropped buckets — bounded pairs vs exactness, observable via the
+    lsh_dropped_rows metric."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     banded = fps.select(
@@ -264,6 +332,8 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -109,6 +109,41 @@ def current_values(writes: DataFrame) -> DataFrame:
     )
 
 
+def _sk_open_sentinel(writes: DataFrame):
+    """Sentinel sort-key marking a still-open validity interval: a struct
+    built from sk's ACTUAL schema (so any order_cols arity/typing works,
+    not just the default ("ts","url")) whose FIRST field exceeds every
+    real value — struct comparison then never consults later fields.
+    Raises for field types with no max literal rather than comparing
+    wrongly."""
+    from pyspark.sql.types import (
+        DateType, DoubleType, FloatType, IntegerType, LongType,
+        StringType, StructType, TimestampType, TimestampNTZType,
+    )
+
+    sk_type = writes.schema["sk"].dataType
+    if not isinstance(sk_type, StructType):
+        raise TypeError(f"sk must be a struct sort key, got {sk_type}")
+    lits = []
+    for f in sk_type.fields:
+        t = f.dataType
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            lit = F.lit(_INF_TS).cast(t.simpleString())
+        elif isinstance(t, DateType):
+            lit = F.lit("9999-12-31").cast("date")
+        elif isinstance(t, StringType):
+            # above every BMP/supplementary char in UTF8 binary order
+            lit = F.lit("\U0010ffff")
+        elif isinstance(t, (IntegerType, LongType)):
+            lit = F.lit((1 << 31) - 1 if isinstance(t, IntegerType) else (1 << 63) - 1).cast(t.simpleString())
+        elif isinstance(t, (FloatType, DoubleType)):
+            lit = F.lit(float("inf")).cast(t.simpleString())
+        else:
+            raise TypeError(f"no max sentinel for sk field {f.name}: {t}")
+        lits.append(lit.alias(f.name))
+    return F.struct(*lits)
+
+
 def pk_uniqueness(writes: DataFrame) -> DataFrame:
     """A3 — sticky canBePrimaryKey via value-lifetime overlap.
 
@@ -128,13 +163,7 @@ def pk_uniqueness(writes: DataFrame) -> DataFrame:
             "row_id",
             "value",
             F.col("sk").alias("start_sk"),
-            F.coalesce(
-                F.col("end_sk"),
-                F.struct(
-                    F.lit(_INF_TS).cast("timestamp").alias("k0"),
-                    F.lit("~").alias("k1"),
-                ),
-            ).alias("end_sk"),
+            F.coalesce(F.col("end_sk"), _sk_open_sentinel(writes)).alias("end_sk"),
         )
     )
     w_val = (
@@ -153,15 +182,25 @@ def pk_uniqueness(writes: DataFrame) -> DataFrame:
 
 def monotonicity(writes: DataFrame) -> DataFrame:
     """A4 — were log-ordered written values strictly increasing?
-    Numeric comparison when every value casts to double, else
-    case-insensitive string comparison (Column.scala:95-130)."""
+
+    Branch gate replicates Column.scala:104-106 exactly: the reference
+    maps (rowID, value) with BOTH `.toDouble`, so the numeric comparison
+    runs only when every row id AND every value parses as a double (a
+    real Oracle ROWID never does); anything else falls to the
+    case-insensitive string comparison (Column.scala:95-130). The
+    divergence boundary (reference iterates a mutable.HashMap in hash
+    order and re-gates per change; this computes one global branch over
+    log-ordered writes) is pinned in tests and SURVEY §7."""
     wr = writes.filter(F.col("kind") == "write")
     w = Window.partitionBy("table_id", "col").orderBy("sk")
     stepped = wr.withColumn("prev", F.lag("value").over(w))
     num_prev = F.col("prev").try_cast("double")
     num_cur = F.col("value").try_cast("double")
     per_col = stepped.groupBy("table_id", "col").agg(
-        F.min(F.col("value").try_cast("double").isNotNull()).alias("all_numeric"),
+        F.min(
+            F.col("value").try_cast("double").isNotNull()
+            & F.col("row_id").try_cast("double").isNotNull()
+        ).alias("all_numeric"),
         F.min(
             F.when(F.col("prev").isNull(), F.lit(True)).otherwise(num_prev < num_cur)
         ).alias("inc_numeric"),
@@ -223,16 +262,120 @@ def inclusion_dependencies(curr: DataFrame, registry: DataFrame) -> DataFrame:
     return ind.unionByName(empty_pairs)
 
 
+def _value_intervals(writes: DataFrame) -> DataFrame:
+    """(table_id, col, value, start_sk, end_sk) — validity intervals of
+    written values: a write opens at its sk, the same row's next
+    write/delete on the column closes (open intervals get the max
+    sentinel). Same construction as pk_uniqueness, minus row identity."""
+    w_row = Window.partitionBy("table_id", "col", "row_id").orderBy("sk")
+    return (
+        writes.withColumn("end_sk", F.lead("sk").over(w_row))
+        .filter(F.col("kind") == "write")
+        .select(
+            "table_id",
+            "col",
+            "value",
+            F.col("sk").alias("start_sk"),
+            F.coalesce(F.col("end_sk"), _sk_open_sentinel(writes)).alias("end_sk"),
+        )
+    )
+
+
+def inclusion_dependencies_eager(writes: DataFrame, registry: DataFrame) -> DataFrame:
+    """A6 under the reference's EAGER/LATCHED semantics
+    (SchemaDeriver.scala:69-93).
+
+    The reference recomputes isSubsetOf after EVERY entry, but only ADDS
+    a pair when one of its two columns was created by that very entry
+    (the previousSchema filter), and REMOVES a pair whenever inclusion
+    stops holding (the similarColumns filter). Since columns are created
+    exactly once, the net semantics are: pair (A ⊆ B) is reported iff
+    inclusion holds at every evaluation step from pair birth
+    t0 = max(creation(A), creation(B)) through the end of the log.
+
+    The final evaluation is the final state, so eager pairs ⊆ final
+    pairs: candidates come from the final-state join and are FILTERED by
+    a continuity check — no per-entry replay. Liveness of a value in a
+    column is a union of write intervals, and every possible violation
+    has a witness at an interval boundary (an A-interval start not
+    covered by B, or a B-interval end inside a live A-interval — both
+    are real log steps). Hence: holds-at-every-step ⇔ each A-interval
+    clipped to [t0, ∞) chains through contiguous B-intervals of the
+    same value. One extra window + one join + one fold over per-value
+    interval arrays (small groups); pair frame is broadcast."""
+    final_pairs = inclusion_dependencies(current_values(writes), registry)
+    iv = _value_intervals(writes)
+    created = writes.groupBy("table_id", "col").agg(F.min("sk").alias("created_sk"))
+    pairs = (
+        final_pairs.join(created, ["table_id", "col"])
+        .join(
+            created.select(
+                F.col("table_id").alias("ref_table"),
+                F.col("col").alias("ref_col"),
+                F.col("created_sk").alias("ref_created_sk"),
+            ),
+            ["ref_table", "ref_col"],
+        )
+        .withColumn("t0", F.greatest("created_sk", "ref_created_sk"))
+        .select("table_id", "col", "ref_table", "ref_col", "t0")
+    )
+    pkey = ["table_id", "col", "ref_table", "ref_col"]
+    a_iv = F.broadcast(pairs).join(iv, ["table_id", "col"]).select(
+        *pkey, "t0", "value",
+        F.col("start_sk").alias("a_start"), F.col("end_sk").alias("a_end"),
+    )
+    b_iv = F.broadcast(pairs.select(*pkey)).join(
+        iv.select(
+            F.col("table_id").alias("ref_table"),
+            F.col("col").alias("ref_col"),
+            "value", "start_sk", "end_sk",
+        ),
+        ["ref_table", "ref_col"],
+    )
+    b_grp = b_iv.groupBy(*pkey, "value").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("start_sk").alias("s"), F.col("end_sk").alias("e"))
+            )
+        ).alias("b_ivs")
+    )
+    joined = a_iv.join(b_grp, [*pkey, "value"], "left")
+    lo = F.greatest(F.col("a_start"), F.col("t0"))
+    # chain coverage: fold sorted B intervals, extending reach while the
+    # next interval starts at or before it ([s,e) half-open ⇒ s<=reach
+    # means contiguous); covered iff reach passes a_end
+    reach = F.aggregate(
+        F.col("b_ivs"),
+        lo,
+        lambda acc, x: F.when((x["s"] <= acc) & (x["e"] > acc), x["e"]).otherwise(acc),
+    )
+    viol = (lo < F.col("a_end")) & (
+        F.col("b_ivs").isNull() | (reach < F.col("a_end"))
+    )
+    violated = (
+        joined.withColumn("viol", viol)
+        .groupBy(*pkey)
+        .agg(F.max("viol").alias("any_viol"))
+        .filter(F.col("any_viol"))
+        .select(*pkey)
+    )
+    return pairs.select(*pkey).join(violated, pkey, "left_anti")
+
+
 def discover_schema(
     events: DataFrame,
     order_cols: tuple[str, ...] = ("ts", "url"),
     strict: bool = False,
+    ind_mode: str = "final",
 ) -> tuple[DataFrame, DataFrame]:
     """Full schema discovery. Returns (columns_df, ind_df):
 
     columns_df: (table_id, col, can_be_pk, values_increasing,
                  name_like_pk, is_pk)
-    ind_df:     (table_id, col, ref_table, ref_col) — final-state INDs.
+    ind_df:     (table_id, col, ref_table, ref_col) — INDs under
+                ind_mode='final' (default: final-state inclusion) or
+                'eager' (the reference's latched fold; both agree on the
+                shipped artifacts, see tests/test_ind_semantics.py).
     """
     writes = column_writes(events, order_cols).cache()
     registry = column_registry(writes)
@@ -254,7 +397,12 @@ def discover_schema(
         else F.col("can_be_pk")
     )
     cols = cols.withColumn("is_pk", pk_expr)
-    ind = inclusion_dependencies(current_values(writes), registry)
+    if ind_mode == "eager":
+        ind = inclusion_dependencies_eager(writes, registry)
+    elif ind_mode == "final":
+        ind = inclusion_dependencies(current_values(writes), registry)
+    else:
+        raise ValueError(f"ind_mode must be 'final' or 'eager', got {ind_mode!r}")
     return cols, ind
 
 

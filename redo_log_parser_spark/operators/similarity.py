@@ -12,9 +12,12 @@
                     candidate set by ~2^n_planes.
   embedding_near_dup_pairs  all-pairs near-duplicates within LSH buckets.
 
-Hyperplanes are generated from a seeded RNG on the driver and folded
-into the plan as literal arrays — identical on every executor and every
-run. Dot products use F.aggregate/zip_with (JVM-side, codegen); no UDFs.
+Hyperplanes (and IVF centroids) are generated from a seeded RNG on the
+driver — identical on every executor and every run — and shipped as ONE
+broadcast crossJoin column (array<array<double>>), NOT as per-plane plan
+literals: at dim=1024 × 16 planes literal arrays would bloat the plan by
+~16k constant nodes; the broadcast keeps plan size O(1) in dim. Dot
+products use F.aggregate/zip_with (JVM-side, codegen); no UDFs.
 """
 
 from __future__ import annotations
@@ -65,14 +68,34 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
-def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-projection bucket id: bit p = sign(vec · plane_p)."""
-    sig = F.lit(0).cast("bigint")
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(vec, lit_plane) > 0,
-                     F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(F.lit(0).cast("bigint"))
-        sig = sig + bit
+def _matrix_col(df: DataFrame, matrix, name: str) -> DataFrame:
+    """Attach a small driver-side float matrix (hyperplanes, centroids)
+    as one broadcast column of array<array<double>> — plan size O(1) in
+    dim, data shipped once per executor via the broadcast."""
+    spark = df.sparkSession
+    rows = [[float(x) for x in row] for row in matrix]
+    mdf = spark.createDataFrame([(rows,)], f"{name}: array<array<double>>")
+    return df.crossJoin(F.broadcast(mdf))
+
+
+def _sig_from_planes(vec: Column, planes_col: Column) -> Column:
+    """Sign-projection bucket id from a planes column: fold the planes
+    in order, acc = acc*2 + (vec·plane > 0) — plane p contributes bit
+    (n_planes-1-p). Pure array expressions; one aggregate node."""
+    return F.aggregate(
+        planes_col,
+        F.lit(0).cast("bigint"),
+        lambda acc, plane: acc * 2
+        + F.when(_dot(vec, plane) > 0, 1).otherwise(0).cast("bigint"),
+    )
+
+
+def py_lsh_signature(vec, planes) -> int:
+    """Driver-side twin of _sig_from_planes (same fold order) — used to
+    bucket the query vector without a Spark job."""
+    sig = 0
+    for plane in planes:
+        sig = sig * 2 + (1 if float(np.dot(vec, plane)) > 0 else 0)
     return sig
 
 
@@ -81,8 +104,11 @@ def with_lsh_bucket(
     vec_col: str = "embedding",
 ) -> DataFrame:
     planes = _hyperplanes(dim, n_planes, seed)
-    return emb.withColumn(
-        "lsh_bucket", lsh_signature(F.col(vec_col).cast("array<double>"), planes)
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        _matrix_col(emb, planes, "__planes")
+        .withColumn("lsh_bucket", _sig_from_planes(v, F.col("__planes")))
+        .drop("__planes")
     )
 
 
@@ -101,12 +127,10 @@ def lsh_bucketed_ann(
     boost). At scale, `lsh_bucket` doubles as the storage partition key
     so probes become partition-pruned scans."""
     planes = _hyperplanes(len(query), n_planes, seed)
-    qsig = 0
-    for p, plane in enumerate(planes):
-        if float(np.dot(query, plane)) > 0:
-            qsig |= 1 << p
+    qsig = py_lsh_signature(query, planes)
     probe = [qsig]
     if multiprobe_bits >= 1:
+        # flipping any single bit == flipping exactly one plane's sign
         probe += [qsig ^ (1 << p) for p in range(n_planes)]
     bucketed = with_lsh_bucket(emb, len(query), n_planes, seed, vec_col)
     cand = bucketed.filter(F.col("lsh_bucket").isin(probe))
@@ -118,13 +142,19 @@ def lsh_bucketed_ann(
     return scored.orderBy(F.desc("score"), id_col).limit(k)
 
 
-def _sq_dist(a: Column, centroid: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+def _sq_dist(a: Column, c: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _ivf_assign(v: Column, cents_col: Column) -> Column:
+    """Nearest-centroid index (0-based) against a centroid-matrix column:
+    argmin over transform — first minimum wins (stable)."""
+    dists = F.transform(cents_col, lambda c: _sq_dist(v, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def train_ivf_centroids(
@@ -134,11 +164,12 @@ def train_ivf_centroids(
     """Driver-iterated Lloyd's k-means (the IVF coarse quantizer).
 
     Each iteration is ONE distributed aggregation: assign = argmin over
-    k literal centroids (pure expressions), then groupBy(cluster) mean
-    per dimension. Only k×dim floats ever reach the driver. Iteration
-    count is fixed (deterministic); init picks the k rows with the
-    smallest xxhash64 of the id — stable across runs and partitionings."""
-    import numpy as np
+    a broadcast centroid matrix, then posexplode + groupBy(cluster, dim)
+    mean — plan size O(1) in dim, map-side partial aggregation reduces
+    the shuffle to k×dim rows per partition. Only k×dim floats ever
+    reach the driver. Iteration count is fixed (deterministic); init
+    picks the k rows with the smallest xxhash64 of the id — stable
+    across runs and partitionings."""
     from pyspark.sql import functions as F  # noqa: F811
 
     dim = len(emb.select(vec_col).first()[0])
@@ -153,20 +184,22 @@ def train_ivf_centroids(
     cents = [list(map(float, r[0])) for r in seed_rows]
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
-        dists = F.array(*[_sq_dist(v, c) for c in cents])
-        assign = F.array_position(dists, F.array_min(dists)) - 1
+        assigned = _matrix_col(emb, cents, "__cents").withColumn(
+            "__c", _ivf_assign(v, F.col("__cents"))
+        )
         agg = (
-            emb.withColumn("__c", assign)
-            .select(
-                "__c",
-                *[F.element_at(v, i + 1).alias(f"d{i}") for i in range(dim)],
-            )
-            .groupBy("__c")
-            .agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(dim)])
+            assigned.select("__c", F.posexplode(v).alias("pos", "val"))
+            .groupBy("__c", "pos")
+            .agg(F.avg("val").alias("m"))
             .collect()
         )
-        new = {int(r["__c"]): [float(r[f"d{i}"]) for i in range(dim)] for r in agg}
-        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+        new: dict[int, dict[int, float]] = {}
+        for r in agg:
+            new.setdefault(int(r["__c"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            [new[i][d] for d in range(dim)] if i in new else cents[i]
+            for i in range(len(cents))
+        ]
     return cents
 
 
@@ -174,9 +207,10 @@ def with_ivf_bucket(emb, centroids: list[list[float]], vec_col: str = "embedding
     """Assign each vector to its nearest coarse centroid — the IVF list
     id, usable as a storage partition key at scale."""
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[_sq_dist(v, c) for c in centroids])
-    return emb.withColumn(
-        "ivf_bucket", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return (
+        _matrix_col(emb, centroids, "__cents")
+        .withColumn("ivf_bucket", _ivf_assign(v, F.col("__cents")))
+        .drop("__cents")
     )
 
 

@@ -13,7 +13,13 @@ in SURVEY.md §1.3:
     reference's random 4-char suffix (EventExtractor.scala:95-111); the
     invariant preserved is uniqueness per entity lifetime.
   * The monotonic-increase check is defined over log-ordered writes, not
-    HashMap iteration order (Column.scala:105 is order-unstable).
+    HashMap iteration order (Column.scala:105 is order-unstable). The
+    numeric-vs-string branch gate IS replicated exactly: both row ids
+    and values must parse as doubles (Column.scala:104-106), so
+    non-numeric row ids (every real Oracle ROWID) force the string
+    branch. The gate is evaluated over the whole write history rather
+    than per change — a column whose values/ids turn non-numeric
+    mid-log is a documented divergence boundary (SURVEY §7).
 """
 
 from __future__ import annotations
@@ -201,6 +207,7 @@ class OracleColumn:
     is_subset_of: list[tuple[str, str]] = field(default_factory=list)
     values: dict[str, str] = field(default_factory=dict)  # row_id -> value
     write_history: list[str] = field(default_factory=list)  # log-ordered writes
+    write_history_ids: list[str] = field(default_factory=list)  # row ids of those writes
 
     def verify_value_uniqueness(self) -> None:
         """Column.scala:79-84 (sticky false)."""
@@ -210,11 +217,18 @@ class OracleColumn:
 
     def verify_increasing_on_change(self) -> None:
         """Column.scala:95-130 over log-ordered write history (see module
-        docstring for the deliberate ordering divergence)."""
+        docstring for the deliberate ordering divergence).
+
+        Branch gate per Column.scala:104-106: the reference coerces BOTH
+        the row id and the value with .toDouble, so a single non-numeric
+        row id (every real Oracle ROWID) forces the case-insensitive
+        string comparison even for all-numeric values."""
         if not self.values_increasing:
             return
         vals = self.write_history
         try:
+            for rid in self.write_history_ids:
+                float(rid)
             nums = [float(v) for v in vals]
             mono = all(a < b for a, b in zip(nums, nums[1:]))
         except ValueError:
@@ -250,9 +264,11 @@ def extract_schema(
                     table[col] = c = OracleColumn(col, e.table_id)
                     c.values[e.row_id] = val
                     c.write_history.append(val)
+                    c.write_history_ids.append(e.row_id)
                 else:
                     c.values[e.row_id] = val
                     c.write_history.append(val)
+                    c.write_history_ids.append(e.row_id)
                     c.verify_increasing_on_change()
                 affected.append(col)
         elif e.op == "update":
@@ -261,9 +277,11 @@ def extract_schema(
                 table[e.upd_attr] = c = OracleColumn(e.upd_attr, e.table_id)
                 c.values[e.row_id] = e.upd_new
                 c.write_history.append(e.upd_new)
+                c.write_history_ids.append(e.row_id)
             else:
                 c.values[e.row_id] = e.upd_new
                 c.write_history.append(e.upd_new)
+                c.write_history_ids.append(e.row_id)
                 c.verify_increasing_on_change()
             affected.append(e.upd_attr)
         else:  # delete: only columns named in the where clause, minus ROWID

@@ -53,11 +53,19 @@ def enrich(events: DataFrame, table_dict: DataFrame | None = None,
     return out
 
 
+def _safe_root_name(root: str) -> str:
+    """Filesystem-safe sink suffix for a root class like '"SYS"."ORDERS"'."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_.-]+", "_", root).strip("_")
+
+
 @dataclass
 class PipelineResult:
     routed_counts: dict[str, int] = field(default_factory=dict)
     schema: SchemaSummary | None = None
     n_traces: int = 0
+    n_traces_by_root: dict[str, int] = field(default_factory=dict)
     out_dir: str = ""
 
 
@@ -103,29 +111,45 @@ def run_pipeline(
         result.routed_counts = write_fanout(enriched, out_dir)
 
     clean = enriched.filter(F.col("parse_error").isNull())
-    cols_df, ind_df = discover_schema(clean)
+    cols_df, ind_df = discover_schema(
+        clean,
+        strict=cfg.strict_primary_keys,
+        ind_mode="eager" if cfg.eager_ind else "final",
+    )
     result.schema = summarize_schema(cols_df, ind_df)
 
-    if cfg.root_class is not None:
+    # Multi-root: the reference loops "pick a root → emit XES" over the
+    # SAME parsed log and discovered schema until --singleRun
+    # (Main.scala:131-162); here every requested root reuses the cached
+    # events and the one discovery pass — one trace sink per root.
+    roots = cfg.all_root_classes
+    if roots:
         tables_lc = {t.lower() for t in result.schema.tables}
-        if cfg.root_class.lower() not in tables_lc:
-            raise ValueError(
-                f"root class {cfg.root_class!r} not in discovered schema "
-                f"{sorted(result.schema.tables)}"
+        for rc in roots:
+            if rc.lower() not in tables_lc:
+                raise ValueError(
+                    f"root class {rc!r} not in discovered schema "
+                    f"{sorted(result.schema.tables)}"
+                )
+        for rc in roots:
+            traces = build_traces_df(
+                clean, result.schema, rc,
+                cfg.include_update_values, cfg.n_salt,
             )
-        traces = build_traces_df(
-            clean, result.schema, cfg.root_class,
-            cfg.include_update_values, cfg.n_salt,
-        )
-        if write_sinks:
-            traces.select("case_id", "trace_xml").write.mode("overwrite").parquet(
+            dest = (
                 f"{out_dir}/traces_xes"
+                if len(roots) == 1
+                else f"{out_dir}/traces_xes/{_safe_root_name(rc)}"
             )
-            result.n_traces = (
-                docs.sparkSession.read.parquet(f"{out_dir}/traces_xes").count()
-            )
-        else:
-            result.n_traces = traces.count()
+            if write_sinks:
+                traces.select("case_id", "trace_xml").write.mode(
+                    "overwrite"
+                ).parquet(dest)
+                n = docs.sparkSession.read.parquet(dest).count()
+            else:
+                n = traces.count()
+            result.n_traces_by_root[rc] = n
+            result.n_traces += n
 
     events.unpersist()
     return result

@@ -37,11 +37,26 @@ def read_log_files(spark: SparkSession, path: str) -> DataFrame:
             lambda ln: F.trim(ln) != "",
         ).alias("lines"),
     )
+    # ceil, not floor: a file with an odd number of non-blank lines has a
+    # trailing orphan statement with no id line. The reference crashes on
+    # it (FileParser.scala chunk of size 1 → translateChunkToLogEntry
+    # index error); this repo's policy converts reference crashes into
+    # observable rejects, so the orphan flows through as a ONE-line
+    # record the parse kernel flags (missing id line) instead of
+    # silently vanishing.
     pairs = lines.select(
         "file",
         F.expr(
-            "transform(sequence(0, int(floor(size(lines)/2)) - 1),"
-            " i -> struct(i as seq, concat_ws('\\n', lines[2*i], lines[2*i+1]) as text))"
+            # guard: sequence(0, -1) would DESCEND in Spark, fabricating
+            # two junk chunks for an all-blank file — emit none instead
+            # get() (not lines[idx]) so the orphan's missing second line
+            # is NULL (ANSI mode throws on out-of-bounds [] access) —
+            # concat_ws drops the NULL, yielding a one-line record
+            "case when size(lines) = 0 then array() else "
+            "transform(sequence(0, int(ceil(size(lines)/2)) - 1),"
+            " i -> struct(i as seq,"
+            " concat_ws('\\n', get(lines, 2*i), get(lines, 2*i+1)) as text))"
+            " end"
         ).alias("chunks"),
     )
     return pairs.select(

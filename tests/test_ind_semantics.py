@@ -3,12 +3,14 @@
 The reference computes inclusion dependencies eagerly after every entry
 and only ADDS a pair when one of its columns was created in that very
 step (SchemaDeriver.scala:69-93). An inclusion that becomes true LATER,
-when both columns already exist, is never added. This engine (and the
-reference oracle in oracle.py) uses FINAL-STATE inclusion (SURVEY.md
-§1.3.4, §7.2): on both shipped reference artifacts the two definitions
-agree (tests/test_reference_golden.py proves it on redo_log.txt), but
-they can diverge on adversarial inputs — this test PINS our defined
-behavior on exactly such an input, so the choice is explicit, not
+when both columns already exist, is never added. This engine defaults to
+FINAL-STATE inclusion (SURVEY.md §1.3.4, §7.2) and, since round 2, also
+offers ind_mode='eager' (inclusion_dependencies_eager) that reproduces
+the latched fold exactly — including on redo_log.txt, where the two
+definitions genuinely differ by two pairs and the reference's own
+database_state.txt FK annotations match EAGER (see
+test_eager_vs_final_on_reference_artifact). These tests pin both
+semantics on the divergence boundary so the choice is explicit, not
 accidental."""
 
 import pandas as pd
@@ -69,3 +71,95 @@ def test_broken_inclusion_is_dropped_like_reference(spark):
     assert ('"S"."T1"', "A", '"S"."T2"', "B") not in got
     # the reverse still holds in both definitions: B={x} ⊆ A={x,z}
     assert ('"S"."T2"', "B", '"S"."T1"', "A") in got
+
+
+def _inds(spark, stmts, mode):
+    events = uniquify_row_ids(parse_documents(_docs(spark, stmts)))
+    _, ind_df = discover_schema(events, ind_mode=mode)
+    return {
+        (r["table_id"], r["col"], r["ref_table"], r["ref_col"])
+        for r in ind_df.collect()
+    }
+
+
+def test_eager_mode_latches_like_reference(spark):
+    """ind_mode='eager' reproduces SchemaDeriver.scala:69-93 on the exact
+    divergence boundary: a late inclusion (true only after both columns
+    exist) is NEVER added; an inclusion true at pair birth that keeps
+    holding IS."""
+    late = [
+        ('insert into "S"."T1"("A") values (\'x\');', "R1"),
+        ('insert into "S"."T2"("B") values (\'y\');', "S1"),
+        ('insert into "S"."T2"("B") values (\'x\');', "S2"),  # late inclusion
+    ]
+    assert ('"S"."T1"', "A", '"S"."T2"', "B") not in _inds(spark, late, "eager")
+    assert ('"S"."T1"', "A", '"S"."T2"', "B") in _inds(spark, late, "final")
+
+    born_good = [
+        ('insert into "S"."T2"("B") values (\'x\');', "S1"),
+        ('insert into "S"."T1"("A") values (\'x\');', "R1"),  # birth: A⊆B holds
+        ('insert into "S"."T2"("B") values (\'y\');', "S2"),  # still holds
+    ]
+    assert ('"S"."T1"', "A", '"S"."T2"', "B") in _inds(spark, born_good, "eager")
+
+
+def test_eager_mode_drops_transient_violation_even_if_final_holds(spark):
+    """Held at birth, broken mid-log, repaired by a delete: the reference
+    removed the pair at the violation and never re-adds (both columns
+    already exist) — final-state would report it."""
+    stmts = [
+        ('insert into "S"."T2"("B") values (\'x\');', "S1"),
+        ('insert into "S"."T1"("A") values (\'x\');', "R1"),   # birth: holds
+        ('insert into "S"."T1"("A") values (\'z\');', "R2"),   # violation
+        ('delete from "S"."T1" where "A" = \'z\' and ROWID = \'R2\';', "R2"),
+    ]
+    key = ('"S"."T1"', "A", '"S"."T2"', "B")
+    assert key in _inds(spark, stmts, "final")   # final state: A={x} ⊆ B
+    assert key not in _inds(spark, stmts, "eager")
+
+
+def test_eager_mode_delete_breaks_target_side(spark):
+    """Deleting the only B row holding v while A still holds v is a
+    violation AT the delete step (B-interval end inside a live
+    A-interval)."""
+    stmts = [
+        ('insert into "S"."T2"("B") values (\'x\');', "S1"),
+        ('insert into "S"."T1"("A") values (\'x\');', "R1"),   # birth: holds
+        ('delete from "S"."T2" where "B" = \'x\' and ROWID = \'S1\';', "S1"),
+        ('insert into "S"."T2"("B") values (\'x\');', "S2"),   # repaired late
+    ]
+    key = ('"S"."T1"', "A", '"S"."T2"', "B")
+    assert key in _inds(spark, stmts, "final")
+    assert key not in _inds(spark, stmts, "eager")
+
+
+def test_eager_vs_final_on_reference_artifact(spark):
+    """On redo_log.txt the two definitions differ by EXACTLY two pairs —
+    and the reference's own database_state.txt sides with eager: it
+    annotates FK only on ORDERS.USER_ID and INVOICES.ORDER_ID, never on
+    ORDERS.ID. Final-state additionally reports ORDERS.ID ⊆ INVOICES.ID
+    / INVOICES.ORDER_ID because late order deletes shrink ORDERS until
+    inclusion holds at the end, while the eager fold evaluated the pair
+    at INVOICES' creation (where it did NOT hold) and never re-adds.
+    Eager is therefore the higher-fidelity mode on the artifact; both
+    keep the ground-truth FK pairs."""
+    from redo_log_parser_spark.sources.logfile import read_log_files
+
+    docs = read_log_files(spark, "/root/reference/artifacts/redo_log.txt")
+    events = uniquify_row_ids(parse_documents(docs, keep_cols=("url",))).cache()
+    _, ind_final = discover_schema(events, ind_mode="final")
+    _, ind_eager = discover_schema(events, ind_mode="eager")
+    as_set = lambda df: {  # noqa: E731
+        (r["table_id"], r["col"], r["ref_table"], r["ref_col"])
+        for r in df.collect()
+    }
+    eager, final = as_set(ind_eager), as_set(ind_final)
+    assert eager <= final  # the final evaluation IS the final state
+    assert final - eager == {
+        ('"SYSTEM"."ORDERS"', "ID", '"SYSTEM"."INVOICES"', "ID"),
+        ('"SYSTEM"."ORDERS"', "ID", '"SYSTEM"."INVOICES"', "ORDER_ID"),
+    }
+    # ground-truth FK pairs (database_state.txt) survive in BOTH modes
+    for s in (eager, final):
+        assert ('"SYSTEM"."ORDERS"', "USER_ID", '"SYSTEM"."USERS"', "ID") in s
+        assert ('"SYSTEM"."INVOICES"', "ORDER_ID", '"SYSTEM"."ORDERS"', "ID") in s

@@ -111,3 +111,54 @@ def test_streaming_route(spark, mini_docs, tmp_path):
     routed = spark.read.parquet(f"{out}/events_by_op")
     got = {r["op"]: r["count"] for r in routed.groupBy("op").count().collect()}
     assert got == {"insert": 161, "update": 220, "delete": 52}
+
+
+def test_multi_root_single_parse(spark, mini_docs, tmp_path):
+    """The reference's interactive loop (Main.scala:131-162) re-expressed:
+    several --root-class values share ONE parse + discovery pass and get
+    one XES sink each."""
+    out = str(tmp_path / "multiroot")
+    cfg = PipelineConfig(root_classes=('"SYSTEM"."ORDERS"', '"SYSTEM"."USERS"'))
+    res = run_pipeline(mini_docs, out, cfg)
+    assert set(res.n_traces_by_root) == {'"SYSTEM"."ORDERS"', '"SYSTEM"."USERS"'}
+    assert res.n_traces_by_root['"SYSTEM"."ORDERS"'] == 70
+    assert res.n_traces == sum(res.n_traces_by_root.values())
+    for sub in ("SYSTEM_._ORDERS", "SYSTEM_._USERS"):
+        xes = spark.read.parquet(f"{out}/traces_xes/{sub}")
+        assert xes.count() > 0
+        assert xes.first()["trace_xml"].startswith("<trace><event>")
+
+
+def test_strict_flag_forwarded_to_discovery(spark, mini_docs, tmp_path):
+    """cfg.strict_primary_keys must reach discover_schema (ADVICE r1):
+    strict runs mark is_pk only for increasing, PK-named, duplicate-free
+    columns — a strictly smaller (or equal, here: smaller) set."""
+    lenient = run_pipeline(
+        mini_docs, str(tmp_path / "s0"), PipelineConfig(), write_sinks=False
+    ).schema.pk_candidates()
+    strict = run_pipeline(
+        mini_docs, str(tmp_path / "s1"),
+        PipelineConfig(strict_primary_keys=True), write_sinks=False,
+    ).schema.pk_candidates()
+    assert strict <= lenient
+    assert strict != lenient, "strict must actually constrain the PK set"
+
+
+def test_logfile_orphan_line_becomes_reject(spark, tmp_path):
+    """A file with an odd number of non-blank lines: the reference crashes
+    on the 1-element chunk (FileParser.scala chunk(1)); the repo policy
+    converts crashes into observable rejects — the orphan must flow
+    through as missing_id_line, not vanish."""
+    log_dir = tmp_path / "oddlogs"
+    log_dir.mkdir()
+    (log_dir / "odd.txt").write_text(
+        'insert into "S"."T"("ID") values (\'1\');\n'
+        "AAAX 01-JAN-2020 00:00:00\n"
+        "\n"
+        'insert into "S"."T"("ID") values (\'2\');\n'
+    )
+    docs = read_log_files(spark, str(log_dir))
+    assert docs.count() == 2
+    parsed = parse_documents(docs, keep_cols=("url",))
+    errs = [r["parse_error"] for r in parsed.collect() if r["parse_error"]]
+    assert errs == ["missing_id_line"]

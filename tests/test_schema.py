@@ -172,3 +172,27 @@ def test_strict_pk_monotonicity_and_name(spark):
     assert got["KEY"] == (True, True)
     # NAME: unique but non-increasing ('b','a','c') and name not PK-ish
     assert got["NAME"] == (False, False)
+
+
+def test_monotonicity_branch_gated_on_rowid_coercion(spark):
+    """Column.scala:104-106 coerces BOTH rowID and value with .toDouble:
+    numeric values under NON-numeric row ids (every real Oracle ROWID)
+    must use the case-insensitive STRING comparison — '10' < '9', so
+    9→10 is NOT increasing. The same values under all-numeric row ids
+    use the numeric branch and ARE increasing. Oracle restatement must
+    agree on both (ADVICE r1 divergence pin)."""
+    alpha = _docs_from_stmts([
+        ('insert into "S"."M"("ID") values (\'9\');', "AX"),
+        ('insert into "S"."M"("ID") values (\'10\');', "BX"),
+    ])
+    numeric = _docs_from_stmts([
+        ('insert into "S"."M"("ID") values (\'9\');', "7"),
+        ('insert into "S"."M"("ID") values (\'10\');', "8"),
+    ])
+    for pdf, want in ((alpha, False), (numeric, True)):
+        events = _spark_events(spark, pdf)
+        cols_df, _ = discover_schema(events)
+        got = {r["col"]: r["values_increasing"] for r in cols_df.collect()}
+        assert got["ID"] is want, (want, got)
+        _, oracle_schema = _oracle_schema(pdf)
+        assert oracle_schema['"S"."M"']["ID"].values_increasing is want

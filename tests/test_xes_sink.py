@@ -36,13 +36,20 @@ def test_xes_document_is_valid_xml(spark, mini_docs, tmp_path):
 
 
 def test_strict_mode_pipeline(spark, mini_docs):
-    """--strict: only increasing, PK-named, unique columns qualify; the
-    mini-log's ID columns qualify, NAME/STATUS never do."""
+    """--strict: only increasing, PK-named, unique columns qualify.
+
+    Row ids are Oracle-style (non-numeric), so Column.scala:104-106
+    forces the STRING comparison branch: USERS.ID (0..40) and ORDERS.ID
+    hit the '10' < '9' cliff and are NOT string-increasing, while
+    INVOICES.ID (fixed-width 1000..1049) IS — exactly what the reference
+    computes on such a log. NAME/STATUS never qualify."""
     events = uniquify_row_ids(parse_documents(mini_docs))
     cols_df, ind_df = discover_schema(events, strict=True)
     schema = summarize_schema(cols_df, ind_df)
     pks = schema.pk_candidates()
-    assert ('"SYSTEM"."USERS"', "ID") in pks
+    assert ('"SYSTEM"."INVOICES"', "ID") in pks
+    assert ('"SYSTEM"."USERS"', "ID") not in pks  # '10' < '9' string cliff
+    assert ('"SYSTEM"."ORDERS"', "ID") not in pks
     assert not any(c == "NAME" or c == "STATUS" for _, c in pks)
 
 
@@ -72,3 +79,55 @@ def test_streaming_stateful_incarnations(spark, mini_docs, tmp_path):
     q.awaitTermination(180)
     got = {r["url"]: r["row_id"] for r in spark.read.parquet(sink).collect()}
     assert got == want
+
+
+def test_pretty_xes_document_golden_bytes(spark, tmp_path):
+    """pretty=True must reproduce the scala.xml PrettyPrinter(200,2) +
+    XML.save layout byte-for-byte (modeled semantics — the reference
+    ships no .xes artifact; see sinks/xes.py docstring): single-quoted
+    xml decl, 2-space steps, one-line events under 200 chars, 4-line
+    events at/over, &quot;-escaped attribute text."""
+    from redo_log_parser_spark.functions.xes import trace_xml_pretty
+
+    long_name = "Update X value of \"S\".\"T\" entity to " + "y" * 160
+    rows = [
+        (
+            "c1",
+            [
+                ('Add "S"."T" entity', "2020-07-21T16:29:41.000+00:00"),
+                (long_name, "2020-07-21T16:29:42.000+00:00"),
+            ],
+        )
+    ]
+    traces = spark.createDataFrame(
+        rows,
+        "case_id string, events array<struct<event_name string, xes_ts string>>",
+    )
+    path = str(tmp_path / "pretty.xes")
+    n = write_xes_document(
+        trace_xml_pretty(traces), path, '"S"."T"', pretty=True
+    )
+    assert n == 1
+    esc_long = long_name.replace('"', "&quot;")
+    want = (
+        "<?xml version='1.0' encoding='UTF-8'?>\n"
+        '<log xes.version="2.0" xmlns="http://www.xes-standard.org/">\n'
+        '  <extension name="Time" prefix="time" uri="http://www.xes-standard.org/time.xesext"/>\n'
+        '  <extension name="Concept" prefix="concept" uri="http://www.xes-standard.org/concept.xesext"/>\n'
+        '  <string key="concept:name" value="&quot;S&quot;.&quot;T&quot;_XES_Log"/>\n'
+        "  <trace>\n"
+        '    <event><string key="concept:name" value="Add &quot;S&quot;.&quot;T&quot; entity"/>'
+        '<date key="time:timestamp" value="2020-07-21T16:29:41.000+00:00"/></event>\n'
+        "    <event>\n"
+        f'      <string key="concept:name" value="{esc_long}"/>\n'
+        '      <date key="time:timestamp" value="2020-07-21T16:29:42.000+00:00"/>\n'
+        "    </event>\n"
+        "  </trace>\n"
+        "</log>"
+    )
+    got = open(path, encoding="utf-8").read()
+    assert got == want
+    # and it is still well-formed XML with the right structure
+    root = ET.parse(path).getroot()
+    ns = "{http://www.xes-standard.org/}"
+    assert len(root.findall(f"{ns}trace")[0].findall(f"{ns}event")) == 2

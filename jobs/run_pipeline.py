@@ -63,6 +63,17 @@ def main() -> int:
         help="reference-exact eager/latched IND semantics "
         "(SchemaDeriver.scala:69-93) instead of final-state inclusion",
     )
+    ap.add_argument(
+        "--xes-file", action="store_true",
+        help="also assemble one complete .xes document per root "
+        "(<output>/<root>_result.xes, the reference CLI's output file, "
+        "PrettyPrinter layout)",
+    )
+    ap.add_argument(
+        "--print-schema", action="store_true",
+        help="print the discovered schema in the reference's console "
+        "format (Table/Column.toString)",
+    )
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--no-resume", action="store_true",
@@ -75,6 +86,7 @@ def main() -> int:
         include_update_values=args.include_update_values,
         strict_primary_keys=args.strict,
         eager_ind=args.eager_ind,
+        xes_document=args.xes_file,
         root_classes=tuple(args.root_class or ()),
         output_dir=args.output,
     )
@@ -87,6 +99,14 @@ def main() -> int:
 
     if args.no_resume:
         res = run_pipeline(docs, args.output, cfg)
+        if args.print_schema and res.schema is not None:
+            # reference console dump incl. its header line
+            # (cli/package.scala:58-66 — typo preserved verbatim)
+            print(
+                "\nExctracted the following database schema from "
+                "transformed log entries:"
+            )
+            print(res.schema.format_console(strict=args.strict))
         print({"routed": res.routed_counts, "traces": res.n_traces})
         return 0
 

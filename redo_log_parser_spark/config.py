@@ -63,6 +63,10 @@ class PipelineConfig:
     # identical on the shipped artifacts, divergent on adversarial logs
     # (tests/test_ind_semantics.py).
     eager_ind: bool = False
+    # Also assemble one complete .xes document per root (the reference's
+    # CLI output, '<out>/<root>_result.xes', PrettyPrinter layout) —
+    # driver-side streaming assembly; for reference-CLI-sized outputs.
+    xes_document: bool = False
 
     # --- Spark-scale knobs (no reference equivalent) ---
     # Salt buckets for skewed trace collection (hot case_ids / hot hosts).

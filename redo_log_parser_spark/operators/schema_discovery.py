@@ -320,6 +320,14 @@ def inclusion_dependencies_eager(writes: DataFrame, registry: DataFrame) -> Data
         .select("table_id", "col", "ref_table", "ref_col", "t0")
     )
     pkey = ["table_id", "col", "ref_table", "ref_col"]
+    # The candidate-pair frame is SCHEMA-sized (≤ cols² rows, like the
+    # driver summary) — materialize it once so the three joins below
+    # don't each re-derive the whole final-state lineage.
+    pair_rows = pairs.collect()
+    spark = writes.sparkSession
+    if not pair_rows:
+        return spark.createDataFrame([], pairs.schema).select(*pkey)
+    pairs = spark.createDataFrame(pair_rows, pairs.schema)
     a_iv = F.broadcast(pairs).join(iv, ["table_id", "col"]).select(
         *pkey, "t0", "value",
         F.col("start_sk").alias("a_start"), F.col("end_sk").alias("a_end"),
@@ -420,6 +428,41 @@ class SchemaSummary:
 
     def pk_candidates(self) -> set[tuple[str, str]]:
         return {(c["table_id"], c["col"]) for c in self.columns if c["is_pk"]}
+
+    def format_console(self, strict: bool = False) -> str:
+        """The reference's schema dump (Table.scala:38-42,
+        Column.scala:43-61): per table a 'TABLE <name>' line, then one
+        line per column — '<name> (PRIMARY KEY) ' or
+        '(STRONG PRIMARY KEY)' under strict, plus
+        'FK CANDIDATE FOR: <t>.<c> AND ...' from isSubsetOf. The
+        reference iterates HashMaps (arbitrary order); this sorts tables
+        and columns for determinism."""
+        fk_by_col: dict[tuple[str, str], list[str]] = {}
+        for i in sorted(
+            self.inds,
+            key=lambda i: (i["table_id"], i["col"], i["ref_table"], i["ref_col"]),
+        ):
+            fk_by_col.setdefault((i["table_id"], i["col"]), []).append(
+                f"{i['ref_table']}.{i['ref_col']}"
+            )
+        blocks = []
+        for t in self.tables:
+            lines = [f"TABLE {t}"]
+            cols = sorted(
+                (c for c in self.columns if c["table_id"] == t),
+                key=lambda c: c["col"],
+            )
+            for c in cols:
+                pk = (
+                    (" (STRONG PRIMARY KEY)" if strict else " (PRIMARY KEY)")
+                    if c["is_pk"]
+                    else ""
+                )
+                targets = fk_by_col.get((t, c["col"]), [])
+                fk = "FK CANDIDATE FOR: " + " AND ".join(targets) if targets else ""
+                lines.append(f"{c['col']}{pk} {fk}")
+            blocks.append("\n".join(lines))
+        return "\n\n".join(blocks)
 
     def fk_pairs(self) -> list[tuple[str, str, str, str]]:
         """ColumnRelations: (fk_table, fk_col, pk_table, pk_col) where the

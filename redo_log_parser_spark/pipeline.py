@@ -148,6 +148,18 @@ def run_pipeline(
                 n = docs.sparkSession.read.parquet(dest).count()
             else:
                 n = traces.count()
+            if cfg.xes_document and write_sinks:
+                # one complete reference-style .xes per root
+                # (Main.scala:149-153 writes <path>_<root>_result.xes)
+                from .functions.xes import trace_xml_pretty
+                from .sinks.xes import write_xes_document
+
+                doc_path = (
+                    f"{out_dir}/{_safe_root_name(rc)}_result.xes"
+                )
+                write_xes_document(
+                    trace_xml_pretty(traces), doc_path, rc, pretty=True
+                )
             result.n_traces_by_root[rc] = n
             result.n_traces += n
 

@@ -162,3 +162,28 @@ def test_logfile_orphan_line_becomes_reject(spark, tmp_path):
     parsed = parse_documents(docs, keep_cols=("url",))
     errs = [r["parse_error"] for r in parsed.collect() if r["parse_error"]]
     assert errs == ["missing_id_line"]
+
+
+def test_xes_document_per_root_and_console_schema(spark, mini_docs, tmp_path):
+    """cfg.xes_document writes the reference-style <root>_result.xes per
+    root (Main.scala:149-153); format_console renders Table/Column
+    toString lines."""
+    import xml.etree.ElementTree as ET
+
+    out = str(tmp_path / "xdoc")
+    cfg = PipelineConfig(root_class='"SYSTEM"."ORDERS"', xes_document=True)
+    res = run_pipeline(mini_docs, out, cfg)
+    doc = f"{out}/SYSTEM_._ORDERS_result.xes"
+    root = ET.parse(doc).getroot()
+    ns = "{http://www.xes-standard.org/}"
+    assert len(root.findall(f"{ns}trace")) == res.n_traces == 70
+    with open(doc, encoding="utf-8") as fh:
+        first = fh.readline()
+    assert first == "<?xml version='1.0' encoding='UTF-8'?>\n"
+
+    dump = res.schema.format_console()
+    assert 'TABLE "SYSTEM"."ORDERS"' in dump
+    assert "ID (PRIMARY KEY) " in dump
+    assert 'USER_ID FK CANDIDATE FOR: "SYSTEM"."USERS".ID' in dump
+    strict_dump = res.schema.format_console(strict=True)
+    assert "(STRONG PRIMARY KEY)" in strict_dump or "(PRIMARY KEY)" not in strict_dump

@@ -1102,6 +1102,109 @@ SQL_RUNNING_WINDOW = """
 """
 
 
+# ----------------------------------- corpus prep: sampling, packing, CC
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sampling (~10%): a doc's fate is a pure
+    function of its bytes (md5), so re-runs and cluster-size changes keep
+    the identical sample."""
+    from .operators.corpus import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), pct=10)
+
+
+SQL_HASH_SAMPLE = """
+    with h as (select doc_id,
+                 cast(('0x' || substr(md5(text), 1, 6)) as bigint) % 100
+                   as h_bucket
+               from documents)
+    select doc_id, h_bucket from h where h_bucket < 10
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sample: smallest content hash
+    wins — balances a training mix without an RNG."""
+    from .operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), per_stratum=20, stratum_col="lang"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+    select doc_id, stratum, cast(rk as int) as rk
+    from (select doc_id, lang as stratum,
+                 row_number() over (partition by lang
+                                    order by md5(text), doc_id) as rk
+          from documents)
+    where rk <= 20
+"""
+
+
+def q_token_pack(spark, sf_dir):
+    """Sequence-packing plan: fixed-token-budget bin ids per source via
+    one cumulative-sum window (deterministic next-fit)."""
+    from .operators.corpus import token_pack
+
+    return token_pack(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+SQL_TOKEN_PACK = """
+    with t as (select doc_id, source,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '')) as n_tok
+               from documents),
+    c as (select *, sum(n_tok) over (partition by source order by doc_id
+               rows between unbounded preceding and current row) as cum
+          from t)
+    select doc_id, source as "group", cast(n_tok as int) as n_tok,
+           cast(floor((cum - n_tok) / 2048) as bigint) as bin_id
+    from c
+"""
+
+
+def q_dedup_components(spark, sf_dir):
+    """Fuzzy-dedup clustering: connected components over the exact
+    n-gram-Jaccard near-dup pairs — (doc_id, component_id = min id in
+    component). Iterative distributed min-label propagation; the DuckDB
+    oracle states the same fixpoint with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return DD.dedup_components(d, pairs)
+
+
+SQL_DEDUP_COMPONENTS = """
+    with recursive
+    t as (select doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') as toks
+          from documents),
+    sh as (select distinct doc_id, shingle
+           from (select doc_id,
+                        unnest(list_transform(generate_series(1, len(toks) - 2),
+                               i -> array_to_string(toks[i:i+2], ' '))) as shingle
+                 from t)),
+    sz as (select doc_id, count(*) as n_sh from sh group by doc_id),
+    co as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as n_common
+           from sh a join sh b using (shingle)
+           where a.doc_id < b.doc_id
+           group by 1, 2),
+    p as (select id_a, id_b
+          from co join sz na on na.doc_id = id_a
+                  join sz nb on nb.doc_id = id_b
+          where n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+    e as (select id_a as src, id_b as dst from p
+          union all
+          select id_b, id_a from p),
+    r as (select doc_id as v, doc_id as u from documents
+          union
+          select r.v, e.dst as u from r join e on e.src = r.u)
+    select v as doc_id, min(u) as component_id from r group by v
+"""
+
+
 # ---------------------------------------- non-SQL-expressible (rows-only)
 
 def q_minhash_pairs(spark, sf_dir):
@@ -1256,6 +1359,10 @@ QUERIES = {
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "running_window": (q_running_window, SQL_RUNNING_WINDOW),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "token_pack": (q_token_pack, SQL_TOKEN_PACK),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),

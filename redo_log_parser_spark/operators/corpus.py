@@ -1,0 +1,102 @@
+"""Corpus-preparation operators for LLM training pipelines: deterministic
+sampling and token-budget packing.
+
+Everything here is a pure narrow projection or a single window — no
+UDFs, no driver loops — and deliberately restatable in ANSI SQL so every
+operator carries a DuckDB oracle in the driver contract. Sampling is
+CONTENT-HASH based (md5), not rand(): the same document keeps the same
+fate across runs, partitionings and cluster sizes, which is what
+checkpoint-resume and reproducible training mixes require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def hash_bucket(text: Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from the md5 of the content.
+    First 6 hex chars → 24 bits, mod buckets — portable to any engine
+    with md5 (the DuckDB oracle states the identical arithmetic)."""
+    return (
+        F.conv(F.substring(F.md5(text), 1, 6), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep ~pct% of docs by content-hash bucket: (doc_id, h_bucket).
+    A doc's fate is a pure function of its bytes — exact duplicates
+    sample identically, re-runs are idempotent, and the filter pushes
+    into the scan as a plain projection+predicate."""
+    b = hash_bucket(F.col(text_col)).alias("h_bucket")
+    return docs.select(F.col(id_col), b).filter(F.col("h_bucket") < pct)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    per_stratum: int = 50,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic quota sampling: the per_stratum docs with the
+    smallest content hash per stratum — (doc_id, stratum, rk). Balances
+    a training mix across languages/sources without an RNG; one window
+    per stratum (hash-partitioned shuffle, no global sort)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(stratum_col).orderBy(h, id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= per_stratum)
+    )
+
+
+def token_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    order_col: str = "doc_id",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing plan: assign docs to fixed-token-budget bins —
+    (doc_id, group, n_tok, bin_id). Deterministic next-fit by cumulative
+    sum within each group ordered by order_col: a doc starts in the bin
+    its running prefix sum opens (bin = floor(cumsum_before / budget));
+    docs longer than the budget own bins alone by construction.
+
+    One window (cumsum per group), no driver state — the standard
+    pre-tokenization packing pass at corpus scale; actual attention-mask
+    aware packing happens doc-local at training time using bin_id as the
+    shuffle/write key."""
+    from ..functions.text import token_count
+
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy("group")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("group"),
+        n_tok.alias("n_tok"),
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    return with_cum.select(
+        id_col,
+        "group",
+        "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / budget).cast("bigint").alias("bin_id"),
+    )

@@ -354,3 +354,56 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Fuzzy-dedup clustering: connected components over a near-dup pair
+    frame → (doc_id, component_id), component_id = min doc id in the
+    component (the canonical representative). Docs in no pair are their
+    own singleton component.
+
+    Distributed min-label propagation: each round joins labels onto the
+    (symmetrized) edge list and takes the min over {self} ∪ neighbors —
+    one shuffle join + one partial+final agg per round, label frame
+    localCheckpoint'ed so lineage stays flat. Converges in
+    O(component diameter) rounds; near-dup clusters are
+    low-diameter (a hub duplicate links its variants directly), so
+    real corpora need 2-4 rounds. Raises if max_iters rounds don't
+    converge rather than returning a partial clustering."""
+    verts = docs.select(F.col(id_col).alias("v")).distinct()
+    half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        nb = edges.join(labels, edges["src"] == labels["v"]).select(
+            F.col("dst").alias("v"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nb)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(
+                F.col("v").alias(id_col), F.col("label").alias("component_id")
+            )
+    raise RuntimeError(
+        f"dedup_components did not converge in {max_iters} rounds "
+        "(pathological chain-shaped duplicate graph?)"
+    )

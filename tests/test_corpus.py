@@ -1,0 +1,79 @@
+"""Corpus-prep operators: connected-components dedup clustering,
+deterministic sampling, token packing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redo_log_parser_spark.operators import dedup as D
+from redo_log_parser_spark.operators.corpus import (
+    hash_sample, stratified_sample, token_pack)
+
+
+def _docs(spark, rows, cols=("doc_id", "text")):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=list(cols)))
+
+
+def test_components_transitive_chain(spark):
+    """(1,2)+(2,3) must merge into ONE component labeled 1 even though
+    (1,3) was never a pair — label propagation crosses hops."""
+    docs = _docs(spark, [(i, f"t{i}") for i in range(6)])
+    pairs = _docs(spark, [(1, 2), (2, 3), (4, 5)], cols=("id_a", "id_b"))
+    got = {r["doc_id"]: r["component_id"]
+           for r in D.dedup_components(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_components_singletons_and_star(spark):
+    docs = _docs(spark, [(i, f"t{i}") for i in range(10)])
+    pairs = _docs(spark, [(0, i) for i in range(1, 5)], cols=("id_a", "id_b"))
+    got = {r["doc_id"]: r["component_id"]
+           for r in D.dedup_components(docs, pairs).collect()}
+    assert all(got[i] == 0 for i in range(5))
+    assert all(got[i] == i for i in range(5, 10))
+
+
+def test_components_nonconvergence_raises(spark):
+    docs = _docs(spark, [(i, f"t{i}") for i in range(8)])
+    pairs = _docs(spark, [(i, i + 1) for i in range(7)], cols=("id_a", "id_b"))
+    with pytest.raises(RuntimeError, match="converge"):
+        D.dedup_components(docs, pairs, max_iters=2)
+    got = {r["doc_id"]: r["component_id"]
+           for r in D.dedup_components(docs, pairs, max_iters=10).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_hash_sample_deterministic_and_content_keyed(spark):
+    rows = [(i, f"document number {i} with words") for i in range(200)]
+    rows += [(1000, rows[0][1])]  # exact dup of doc 0's content
+    docs = _docs(spark, rows)
+    s1 = {r["doc_id"] for r in hash_sample(docs, pct=20).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs, pct=20).collect()}
+    assert s1 == s2 and 0 < len(s1) < 201
+    # identical content => identical fate
+    assert (0 in s1) == (1000 in s1)
+
+
+def test_stratified_sample_quota(spark):
+    rows = [(i, f"text {i}", "en" if i % 3 else "de") for i in range(60)]
+    docs = _docs(spark, rows, cols=("doc_id", "text", "lang"))
+    out = stratified_sample(docs, per_stratum=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["stratum"], []).append(r["rk"])
+    assert set(per) == {"en", "de"}
+    assert all(sorted(v) == list(range(1, 6)) for v in per.values())
+
+
+def test_token_pack_budget_respected(spark):
+    rows = [(i, " ".join(["w"] * (100 + i)), "s0") for i in range(20)]
+    docs = _docs(spark, rows, cols=("doc_id", "text", "source"))
+    out = sorted(token_pack(docs, budget=300).collect(), key=lambda r: r["doc_id"])
+    # next-fit by cumsum: bin boundaries at floor(prefix/budget)
+    cum = 0
+    for r in out:
+        assert r["bin_id"] == cum // 300
+        cum += r["n_tok"]
+    # bins are contiguous in doc order and non-decreasing
+    bins = [r["bin_id"] for r in out]
+    assert bins == sorted(bins)

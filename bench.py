@@ -50,10 +50,12 @@ def headline_queries():
 
     from redo_log_parser_spark.contract import (
         q_ann_cosine,
+        q_dedup_components,
         q_dedup_exact,
         q_minhash_pairs,
         q_rowid_incarnation,
         q_schema_discovery,
+        q_token_pack,
         q_trace_collect,
         q_route_counts,
         synth_mixed_docs,
@@ -104,6 +106,8 @@ def headline_queries():
         "trace_collect": q_trace_collect,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_components": q_dedup_components,
+        "token_pack": q_token_pack,
         "ann_cosine": q_ann_cosine,
     }
 

@@ -812,8 +812,19 @@ SQL_DEDUP_EXACT = """
 """
 
 
+
+def _docs_wide(spark, sf_dir):
+    """documents.parquet at test sf is ONE file (a single input split):
+    fan out before CPU-heavy shingling/hashing so it runs on all cores —
+    on a real table the file/split layout provides this natively and the
+    shuffle disappears (same convention as synth_mixed_docs)."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return DD.ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
 
@@ -1170,7 +1181,7 @@ def q_dedup_components(spark, sf_dir):
     n-gram-Jaccard near-dup pairs — (doc_id, component_id = min id in
     component). Iterative distributed min-label propagation; the DuckDB
     oracle states the same fixpoint with a recursive CTE."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     pairs = DD.ngram_jaccard_pairs(d, n=3, threshold=0.5)
     return DD.dedup_components(d, pairs)
 
@@ -1217,7 +1228,7 @@ def q_minhash_pairs(spark, sf_dir):
     recall on the fixture is 100%. The oracle therefore states the full
     exact-Jaccard≥0.5 pair set (same SQL as ngram_jaccard); recall on
     planted near-dups is additionally pinned in tests/test_text_dedup.py."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return DD.minhash_dedup_pairs(d, num_hashes=32, bands=8, threshold=0.5)
 
 
@@ -1228,7 +1239,7 @@ SQL_MINHASH_PAIRS = SQL_NGRAM_JACCARD
 
 def q_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints (xxhash64-based; rows-only check)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return DD.simhash(d)
 
 

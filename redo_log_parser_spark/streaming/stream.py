@@ -68,3 +68,24 @@ def streaming_op_counts(
         .groupBy(F.window("warc_ts", window).alias("w"), "op")
         .count()
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: first sighting of a content fingerprint
+    wins; re-crawls of the same bytes inside the watermark horizon are
+    dropped. dropDuplicatesWithinWatermark keys state by fingerprint and
+    EXPIRES it once event time passes the watermark — bounded state, the
+    only sound way to dedup an unbounded crawl (an unwatermarked
+    dropDuplicates would grow state forever). Batch twin:
+    operators/dedup.exact_dedup (same fingerprint function)."""
+    from ..functions.text import doc_fingerprint
+
+    with_fp = docs.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+    return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )

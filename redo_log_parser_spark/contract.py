@@ -1238,9 +1238,37 @@ SQL_MINHASH_PAIRS = SQL_NGRAM_JACCARD
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (xxhash64-based; rows-only check)."""
+    """SimHash fingerprints with the SQL-portable md5-derived token hash
+    (operators/dedup.md5_hash60), so the vote/fingerprint construction
+    gets a full cross-engine value oracle; the production default stays
+    xxhash64 (JVM-fast), logic identical — near-dup blocking on the
+    default hash is pinned by the exact-Hamming pytest."""
     d = _docs_wide(spark, sf_dir)
-    return DD.simhash(d)
+    return DD.simhash(d, token_hash=DD.md5_hash60)
+
+
+# per-bit vote sums + sign reassembly, generated mechanically; bits
+# 60-63 of the 60-bit hash are always 0 → their votes are always -1 →
+# fingerprint bits 60-63 are 0 on both engines (terms omitted)
+_SIMHASH_VOTES = ",\n           ".join(
+    f"sum(case when (h >> {i}) & 1 = 1 then 1 else -1 end) as v{i}"
+    for i in range(60)
+)
+_SIMHASH_FP = " + ".join(
+    f"case when v{i} > 0 then (cast(1 as bigint) << {i}) else cast(0 as bigint) end"
+    for i in range(60)
+)
+SQL_SIMHASH = f"""
+    with tok as (select doc_id,
+                   unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> x <> '')) as tok
+                 from documents),
+    h as (select doc_id,
+                 cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h
+          from tok),
+    v as (select doc_id, {_SIMHASH_VOTES} from h group by doc_id)
+    select doc_id, cast({_SIMHASH_FP} as bigint) as simhash from v
+"""
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -1276,6 +1304,60 @@ SQL_EMBEDDING_NEAR_DUPS = """
           from aug a join aug b on a.vec_id < b.vec_id)
     select id_a, id_b, cast(cosine as double) as cosine
     from p where cosine >= 0.9
+"""
+
+
+def q_ivf_search(spark, sf_dir):
+    """The IVF SEARCH path under a full value oracle: coarse centroids
+    fixed deterministically (the first four embeddings), so bucket
+    assignment (argmin, first-min tie-break), probe selection (two
+    nearest lists to the query) and the in-list cosine top-k are all
+    restatable in SQL. k-means TRAINING stays an iterative algorithm —
+    covered by q_ivf_ann (rows-only) + tests/test_ivf.py recall."""
+    from .operators.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 4).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in cent_rows]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_ann(emb, qv, cents, k=10, n_probe=2).select("vec_id", "score")
+
+
+SQL_IVF_SEARCH = """
+    with c as (select vec_id as cid, embedding as cv
+               from embeddings where vec_id < 4),
+    q as (select embedding as qv from embeddings where vec_id = 0),
+    d as (select e.vec_id, c.cid,
+            list_sum(list_transform(list_zip(e.embedding, c.cv),
+                x -> (cast(x[1] as double) - cast(x[2] as double))
+                   * (cast(x[1] as double) - cast(x[2] as double)))) as dist
+          from embeddings e cross join c),
+    assign as (select vec_id, cid,
+                 row_number() over (partition by vec_id
+                                    order by dist, cid) as rn
+               from d),
+    bucket as (select vec_id, cid as b from assign where rn = 1),
+    qd as (select cid,
+             list_sum(list_transform(list_zip((select qv from q), cv),
+                 x -> (cast(x[1] as double) - cast(x[2] as double))
+                    * (cast(x[1] as double) - cast(x[2] as double)))) as dist
+           from c),
+    probe as (select cid from qd order by dist, cid limit 2),
+    s as (select e.vec_id,
+            list_sum(list_transform(list_zip(e.embedding, (select qv from q)),
+                x -> cast(x[1] as double) * cast(x[2] as double)))
+            / (sqrt(list_sum(list_transform(e.embedding,
+                 x -> cast(x as double) * cast(x as double))))
+               * (select sqrt(list_sum(list_transform(qv,
+                    x -> cast(x as double) * cast(x as double)))) from q))
+              as score
+          from embeddings e
+          join bucket b on b.vec_id = e.vec_id
+          where b.b in (select cid from probe))
+    select vec_id, round(score, 6) as score
+    from s order by score desc, vec_id limit 10
 """
 
 
@@ -1377,8 +1459,9 @@ QUERIES = {
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "ivf_search": (q_ivf_search, SQL_IVF_SEARCH),
     # rows-only (no SQL oracle; see docstrings)
     "approx_distinct": (q_approx_distinct, None),
     "ivf_ann": (q_ivf_ann, None),
-    "simhash": (q_simhash, None),
 }

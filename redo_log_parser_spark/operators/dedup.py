@@ -266,16 +266,34 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def md5_hash60(c):
+    """Engine-portable 60-bit token hash: first 15 hex chars of md5 as a
+    bigint (positive, no sign games). Slower than xxhash64 (string md5 +
+    base conversion) but restatable verbatim in any SQL engine — used by
+    the driver-contract simhash query so the vote/fingerprint LOGIC gets
+    a full cross-engine value oracle."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    token_hash=None,
+) -> DataFrame:
     """64-bit SimHash: per token a 64-bit hash votes ±1 on each bit;
     fingerprint bit i is the sign of the vote sum. Computed with array
     expressions over the exploded token frame — one groupBy, no UDF.
 
+    token_hash: Column→Column token hash; default xxhash64 (JVM-fast,
+    the production path). Pass md5_hash60 for the SQL-portable variant
+    (top 4 bits constant-zero votes — fingerprints differ from the
+    default, blocking/verification semantics identical).
+
     (doc_id, simhash: bigint)"""
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
-    h = tok.withColumn("h", F.xxhash64("tok"))
+    h = tok.withColumn("h", hash_fn(F.col("tok")))
     # 64 per-bit ±1 vote columns (bit index is compile-time constant, so
     # plain Python loops build the projection; codegen fuses it all)
     votes = h.select(

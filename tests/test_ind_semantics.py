@@ -163,3 +163,36 @@ def test_eager_vs_final_on_reference_artifact(spark):
     for s in (eager, final):
         assert ('"SYSTEM"."ORDERS"', "USER_ID", '"SYSTEM"."USERS"', "ID") in s
         assert ('"SYSTEM"."INVOICES"', "ORDER_ID", '"SYSTEM"."ORDERS"', "ID") in s
+
+
+def test_eager_vs_final_on_evaluation_artifact(spark):
+    """The second shipped artifact (8.5k-entry evaluation_log.txt,
+    SAMPLEDB schema): pin the eager/final relationship there too —
+    eager ⊆ final always; any difference is asserted explicitly so the
+    boundary is never silent."""
+    from redo_log_parser_spark.config import PipelineConfig
+    from redo_log_parser_spark.sources.logfile import read_log_files
+
+    cfg = PipelineConfig(ts_format_java="yyyy-MM-dd HH:mm:ss")
+    docs = read_log_files(spark, "/root/reference/artifacts/evaluation_log.txt")
+    events = uniquify_row_ids(parse_documents(docs, cfg, keep_cols=("url",))).cache()
+    _, ind_final = discover_schema(events, ind_mode="final")
+    _, ind_eager = discover_schema(events, ind_mode="eager")
+    as_set = lambda df: {  # noqa: E731
+        (r["table_id"], r["col"], r["ref_table"], r["ref_col"])
+        for r in df.collect()
+    }
+    eager, final = as_set(ind_eager), as_set(ind_final)
+    assert eager <= final
+    # Pin the exact difference: five REVERSED inclusions (PK column ⊆
+    # the column that references it) that only converge once every
+    # entity has been referenced — precisely the late-inclusion class
+    # the reference's latch rejects. Eager keeps the 7 true-direction
+    # pairs; final-state adds these 5 spurious reversals.
+    assert final - eager == {
+        ('"SAMPLEDB"."BAND"', "BAND_ID", '"SAMPLEDB"."BAND_PLAYING"', "BAND_ID"),
+        ('"SAMPLEDB"."HALL"', "HALL_ID", '"SAMPLEDB"."CONCERT"', "HALL_ID"),
+        ('"SAMPLEDB"."SEAT"', "HALL_ID", '"SAMPLEDB"."CONCERT"', "HALL_ID"),
+        ('"SAMPLEDB"."SEAT"', "HALL_ID", '"SAMPLEDB"."HALL"', "HALL_ID"),
+        ('"SAMPLEDB"."SEAT"', "SEAT_ID", '"SAMPLEDB"."TICKET"', "BELONGS_TO"),
+    }, sorted(final - eager)

@@ -421,6 +421,7 @@ def dedup_components(
             return labels.select(
                 F.col("v").alias(id_col), F.col("label").alias("component_id")
             )
+    edges.unpersist()
     raise RuntimeError(
         f"dedup_components did not converge in {max_iters} rounds "
         "(pathological chain-shaped duplicate graph?)"

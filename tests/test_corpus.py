@@ -77,3 +77,63 @@ def test_token_pack_budget_respected(spark):
     # bins are contiguous in doc order and non-decreasing
     bins = [r["bin_id"] for r in out]
     assert bins == sorted(bins)
+
+
+# ---- property-based pins (hypothesis): packing & sampling invariants
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _doc_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    return [
+        (
+            i,
+            " ".join(["tok"] * draw(st.integers(min_value=0, max_value=40))),
+            draw(st.sampled_from(["a", "b"])),
+        )
+        for i in range(n)
+    ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(_doc_corpus())
+def test_token_pack_matches_python_reference(spark, rows):
+    """next-fit-by-cumsum invariants vs a row-at-a-time reference:
+    identical bin ids; bins non-decreasing in order; a bin's total only
+    exceeds the budget via its LAST (straddling) doc."""
+    budget = 37
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["bin_id"])
+        for r in token_pack(docs, budget=budget).collect()
+    }
+    for src in ("a", "b"):
+        cum = 0
+        for i, text, s in rows:
+            if s != src:
+                continue
+            n_tok = len(text.split())
+            assert got[i] == (n_tok, cum // budget), (i, got[i])
+            cum += n_tok
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=30),
+                min_size=1, max_size=30, unique=True))
+def test_hash_sample_is_pure_function_of_content(spark, texts):
+    """Same text → same bucket, independent of doc_id, row order, or
+    partitioning; bucket matches the md5 arithmetic exactly."""
+    import hashlib
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).repartition(7)
+    got = {r["doc_id"]: r["h_bucket"] for r in hash_sample(docs, pct=100).collect()}
+    for i, t in rows:
+        want = int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % 100
+        assert got[i] == want, (t, got[i], want)

@@ -1216,6 +1216,51 @@ SQL_DEDUP_COMPONENTS = """
 """
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet/RefinedWeb step): the sf
+    documents are single-line, so the query plants a shared footer line
+    plus a per-language line — the footer (in every doc) and the lang
+    lines (hundreds of docs each) must be stripped, the unique original
+    line kept."""
+    from .operators.corpus import strip_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nCopyright Example Footer - All Rights Reserved\nlang:"),
+            F.col("lang"),
+        ),
+    )
+    return strip_boilerplate_lines(d, max_df=10)
+
+
+SQL_STRIP_BOILERPLATE = """
+    with d as (select doc_id,
+                 text || chr(10) ||
+                 'Copyright Example Footer - All Rights Reserved' ||
+                 chr(10) || 'lang:' || lang as text
+               from documents),
+    t as (select doc_id, string_split(text, chr(10)) as ls from d),
+    l as (select doc_id, s.pos, s.line,
+                 md5(lower(trim(s.line))) as lk
+          from (select doc_id,
+                       unnest(list_transform(generate_series(1, len(ls)),
+                              i -> struct_pack(pos := i, line := ls[i]))) as s
+                from t)),
+    df as (select lk, count(distinct doc_id) as line_df from l group by lk),
+    kept as (select l.* from l join df using (lk) where line_df <= 10),
+    rebuilt as (select doc_id,
+                       string_agg(line, chr(10) order by pos) as clean_text,
+                       count(*) as n_lines_kept
+                from kept group by doc_id)
+    select d.doc_id,
+           coalesce(r.clean_text, '') as clean_text,
+           cast(coalesce(r.n_lines_kept, 0) as bigint) as n_lines_kept
+    from d left join rebuilt r using (doc_id)
+"""
+
+
 # ---------------------------------------- non-SQL-expressible (rows-only)
 
 def q_minhash_pairs(spark, sf_dir):
@@ -1455,6 +1500,7 @@ QUERIES = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_pack": (q_token_pack, SQL_TOKEN_PACK),
+    "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),

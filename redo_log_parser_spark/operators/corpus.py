@@ -100,3 +100,48 @@ def token_pack(
         "n_tok",
         F.floor((F.col("cum") - F.col("n_tok")) / budget).cast("bigint").alias("bin_id"),
     )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    max_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb step): drop
+    every line whose NORMALIZED form (lower+trim, keyed by md5) appears
+    in more than max_df distinct documents — cookie banners, footers,
+    nav chrome — and rebuild each document from its surviving lines in
+    original order.
+
+    (doc_id, clean_text, n_lines_kept). Documents that lose every line
+    stay in the output with clean_text = ''.
+
+    Shuffle profile: one explode, one line-key aggregate (partial+final
+    — the df count, NOT a window over raw lines), one join back keyed by
+    line hash, one per-doc rebuild aggregate. Line-key cardinality ≈
+    distinct lines, so the hot 'same footer everywhere' key carries one
+    count row, not a data explosion."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lk", F.md5(F.lower(F.trim("line"))))
+    line_df = lines.groupBy("lk").agg(
+        F.countDistinct(id_col).alias("line_df")
+    )
+    kept = lines.join(line_df, "lk").filter(F.col("line_df") <= max_df)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .fillna({"clean_text": "", "n_lines_kept": 0})
+    )

@@ -137,3 +137,23 @@ def test_hash_sample_is_pure_function_of_content(spark, texts):
     for i, t in rows:
         want = int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % 100
         assert got[i] == want, (t, got[i], want)
+
+
+def test_strip_boilerplate_lines(spark):
+    from redo_log_parser_spark.operators.corpus import strip_boilerplate_lines
+
+    rows = [
+        (0, "unique zero\nSHARED FOOTER\nmiddle zero"),
+        (1, "unique one\nshared footer"),          # normalized match of 0's
+        (2, "  Shared Footer  \nunique two"),      # trim+lower match
+        (3, "SHARED FOOTER"),                      # loses everything
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"])
+        for r in strip_boilerplate_lines(docs, max_df=1).collect()
+    }
+    assert got[0] == ("unique zero\nmiddle zero", 2)
+    assert got[1] == ("unique one", 1)
+    assert got[2] == ("unique two", 1)
+    assert got[3] == ("", 0)   # fully-boilerplate doc survives as empty

@@ -270,3 +270,22 @@ def test_simhash_near_dups_equal_exact_hamming(spark):
             for r in D.simhash_near_dups(fps, max_hamming=h).collect()
         }
         assert got == want, h
+
+
+def test_bucket_cap_drop_metric_is_observable(spark):
+    """The lsh_dropped_rows observation must report exactly the rows in
+    oversized buckets (30 identical docs x 8 bands) — the drop is
+    visible, never silent."""
+    rows = [(i, "same same same same text here") for i in range(30)]
+    rows += [(100, "pp qq rr ss tt uu"), (101, "pp qq rr ss tt uu")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = D.minhash_dedup_pairs(docs, 32, 8, threshold=0.5, max_bucket_size=5)
+    out.collect()
+    om = out._jdf.queryExecution().observedMetrics()
+    vals = {}
+    it = om.iterator()
+    while it.hasNext():
+        kv = it.next()
+        vals[str(kv._1())] = kv._2()
+    (name, row), = [(k, v) for k, v in vals.items() if k.startswith("lsh_bucket_cap")]
+    assert row.getLong(0) == 30 * 8  # every row of the degenerate buckets

@@ -1261,6 +1261,84 @@ SQL_STRIP_BOILERPLATE = """
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over documents with planted email + long-number tokens
+    (the sf prose has none): emails → <EMAIL>, 9+-digit runs → <NUM>,
+    plus per-doc match counts."""
+    from .functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref 9876543210"),
+        ),
+    )
+    n_emails, n_nums = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_nums.alias("n_nums"),
+    )
+
+
+SQL_PII_REDACT = """
+    with d as (select doc_id,
+                 text || ' contact: user' || cast(doc_id as varchar) ||
+                 '@example.com ref 9876543210' as text
+               from documents)
+    select doc_id,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\d{9,}', '<NUM>', 'g') as clean_text,
+           cast(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as int)
+             as n_emails,
+           cast(len(regexp_extract_all(text, '\\d{9,}')) as int) as n_nums
+    from d
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style per-doc repetition signals (dup n-gram fractions,
+    top-token mass) — quality filtering inputs."""
+    from .operators.corpus import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+    with toks as (select doc_id,
+                    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                x -> x <> '') as ts
+                  from documents),
+    grams as (select doc_id,
+                list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                               i -> ts[i] || ' ' || ts[i+1]) as g2,
+                list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) as g3
+              from toks),
+    fr as (select doc_id,
+             case when len(g2) > 0
+                  then round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+                  else 0.0 end as dup_2gram_frac,
+             case when len(g3) > 0
+                  then round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+                  else 0.0 end as dup_3gram_frac
+           from grams),
+    t as (select doc_id, unnest(ts) as tok from toks),
+    per as (select doc_id, tok, count(*) as c from t group by 1, 2),
+    top as (select doc_id, max(c) as top_c, sum(c) as n_tok
+            from per group by doc_id)
+    select fr.doc_id, fr.dup_2gram_frac, fr.dup_3gram_frac,
+           round(coalesce(top.top_c * 1.0 / top.n_tok, 0.0), 6) as top_token_frac
+    from fr left join top using (doc_id)
+"""
+
+
 # ---------------------------------------- non-SQL-expressible (rows-only)
 
 def q_minhash_pairs(spark, sf_dir):
@@ -1501,6 +1579,8 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_pack": (q_token_pack, SQL_TOKEN_PACK),
     "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),

@@ -92,3 +92,45 @@ def doc_fingerprint(text: Column) -> Column:
     text — the exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_RE = r"\d{9,}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub obvious PII lexemes: email addresses → <EMAIL>, 9+-digit
+    runs (phone/account numbers) → <NUM>. Simple deliberately — the
+    production pass chains more patterns; each is one regexp_replace
+    (JVM regex, whole-stage codegen) and SQL-portable."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, LONG_NUM_RE, "<NUM>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_long_numbers) found in the text."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(LONG_NUM_RE), F.lit(0))),
+    )
+
+
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    repeats of an earlier n-gram in the SAME document —
+    1 - distinct/total. 0.0 for docs with no n-grams. Pure array
+    expressions, no explode."""
+    toks = tokens(F.lower(text))
+    # guard: sequence(0, -1) DESCENDS in Spark, so short/empty docs must
+    # short-circuit to an empty gram list instead
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.when(
+        F.size(grams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))

@@ -145,3 +145,39 @@ def strip_boilerplate_lines(
         .join(rebuilt, id_col, "left")
         .fillna({"clean_text": "", "n_lines_kept": 0})
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    (doc_id, dup_2gram_frac, dup_3gram_frac, top_token_frac). High
+    values flag machine-generated / boilerplate-heavy pages for
+    filtering before training.
+
+    The n-gram fractions are pure array expressions (no explode); the
+    top-token fraction needs a per-(doc, token) count — one explode +
+    two partial+final aggregates keyed by doc (never a global key)."""
+    from ..functions.text import dup_ngram_fraction, tokens
+
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.round(dup_ngram_fraction(t, 2), 6).alias("dup_2gram_frac"),
+        F.round(dup_ngram_fraction(t, 3), 6).alias("dup_3gram_frac"),
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(t))).alias("tok")
+    )
+    per = tok.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    top = per.groupBy(id_col).agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_tok")
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        F.round(
+            F.coalesce(F.col("top_c") / F.col("n_tok"), F.lit(0.0)), 6
+        ).alias("top_token_frac"),
+    )

@@ -57,10 +57,15 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     Built with array expressions (no UDF): slide a window of n over the
     token array."""
     toks = tokens(F.lower(F.col(text_col)))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    # guard: sequence(0, -1) DESCENDS in Spark — a doc with fewer than n
+    # tokens must yield an empty shingle list, not invalid slice starts
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()

@@ -157,3 +157,43 @@ def test_strip_boilerplate_lines(spark):
     assert got[1] == ("unique one", 1)
     assert got[2] == ("unique two", 1)
     assert got[3] == ("", 0)   # fully-boilerplate doc survives as empty
+
+
+def test_pii_redaction_and_counts(spark):
+    from redo_log_parser_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (0, "mail me at jane.doe+x@sub.example.org or call 12345678901 now"),
+        (1, "no pii here, short num 12345678 stays"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ne, nn = pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: (r["t"], r["ne"], r["nn"])
+        for r in docs.select(
+            "doc_id", redact_pii(F.col("text")).alias("t"),
+            ne.alias("ne"), nn.alias("nn"),
+        ).collect()
+    }
+    assert got[0] == ("mail me at <EMAIL> or call <NUM> now", 1, 1)
+    assert got[1] == ("no pii here, short num 12345678 stays", 0, 0)
+
+
+def test_repetition_stats_values(spark):
+    from redo_log_parser_spark.operators.corpus import repetition_stats
+
+    rows = [
+        (0, "spam spam spam spam"),          # 2-grams: 3x "spam spam" -> 2/3 dup
+        (1, "all words unique here now"),
+        (2, ""),                             # no tokens at all
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r["doc_id"]: (
+            r["dup_2gram_frac"], r["dup_3gram_frac"], r["top_token_frac"]
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    assert got[0] == (round(1 - 1 / 3, 6), round(1 - 1 / 2, 6), 1.0)
+    assert got[1] == (0.0, 0.0, 0.2)  # 5 unique tokens -> top mass 1/5
+    assert got[2] == (0.0, 0.0, 0.0)

@@ -289,3 +289,13 @@ def test_bucket_cap_drop_metric_is_observable(spark):
         vals[str(kv._1())] = kv._2()
     (name, row), = [(k, v) for k, v in vals.items() if k.startswith("lsh_bucket_cap")]
     assert row.getLong(0) == 30 * 8  # every row of the degenerate buckets
+
+
+def test_shingles_short_and_empty_docs(spark):
+    """Docs with fewer than n tokens (incl. empty) yield no shingles —
+    regression pin for the Spark descending-sequence gotcha
+    (sequence(0,-1) = [0,-1])."""
+    rows = [(0, ""), (1, "one"), (2, "one two"), (3, "one two three")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {(r["doc_id"], r["shingle"]) for r in D.shingles(docs, n=3).collect()}
+    assert got == {(3, "one two three")}

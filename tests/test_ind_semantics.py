@@ -196,3 +196,19 @@ def test_eager_vs_final_on_evaluation_artifact(spark):
         ('"SAMPLEDB"."SEAT"', "HALL_ID", '"SAMPLEDB"."HALL"', "HALL_ID"),
         ('"SAMPLEDB"."SEAT"', "SEAT_ID", '"SAMPLEDB"."TICKET"', "BELONGS_TO"),
     }, sorted(final - eager)
+
+
+def test_eager_mode_seamless_rewrite_is_not_a_violation(spark):
+    """Updating B's value x to x again splits B's interval for x at the
+    rewrite step: [s,t) + [t,∞). The half-open chain rule must treat the
+    touching intervals as contiguous coverage — no phantom violation at
+    step t."""
+    stmts = [
+        ('insert into "S"."T2"("B") values (\'x\');', "S1"),
+        ('insert into "S"."T1"("A") values (\'x\');', "R1"),   # birth: holds
+        ('update "S"."T2" set "B" = \'x\' where "B" = \'x\' and ROWID = \'S1\';', "S1"),
+        ('insert into "S"."T2"("B") values (\'y\');', "S2"),   # unrelated
+    ]
+    key = ('"S"."T1"', "A", '"S"."T2"', "B")
+    assert key in _inds(spark, stmts, "eager")
+    assert key in _inds(spark, stmts, "final")

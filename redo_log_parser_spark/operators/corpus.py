@@ -73,9 +73,14 @@ def token_pack(
 ) -> DataFrame:
     """Sequence-packing plan: assign docs to fixed-token-budget bins —
     (doc_id, group, n_tok, bin_id). Deterministic next-fit by cumulative
-    sum within each group ordered by order_col: a doc starts in the bin
-    its running prefix sum opens (bin = floor(cumsum_before / budget));
-    docs longer than the budget own bins alone by construction.
+    sum within each group ordered by order_col: a doc is assigned the bin
+    its running prefix sum opens (bin = floor(cumsum_before / budget)).
+    Next-fit semantics, not best-fit: a doc that straddles a budget
+    boundary still shares its STARTING bin with the docs before it, and a
+    bin may exceed the budget via its last straddling doc (an over-budget
+    doc only owns a bin alone when its prefix sum happens to start one).
+    The hypothesis test pins exactly this: every bin overflow is caused
+    by its final straddling doc.
 
     One window (cumsum per group), no driver state — the standard
     pre-tokenization packing pass at corpus scale; actual attention-mask

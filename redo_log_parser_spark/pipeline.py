@@ -60,6 +60,28 @@ def _safe_root_name(root: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.-]+", "_", root).strip("_")
 
 
+def _safe_root_names(roots) -> dict[str, str]:
+    """root → filesystem-safe sink suffix, collision-proof: sanitizing is
+    lossy ('"S"."T"' and 'S_._T' both map to 'S_._T'), and a collision
+    would silently overwrite one root's traces_xes dir and _result.xes.
+    Colliding names get a short content hash suffix so every root keeps
+    its own sink."""
+    import hashlib
+
+    base = {rc: _safe_root_name(rc) for rc in roots}
+    counts: dict[str, int] = {}
+    for name in base.values():
+        counts[name] = counts.get(name, 0) + 1
+    return {
+        rc: (
+            name
+            if counts[name] == 1
+            else f"{name}-{hashlib.md5(rc.encode()).hexdigest()[:8]}"
+        )
+        for rc, name in base.items()
+    }
+
+
 @dataclass
 class PipelineResult:
     routed_counts: dict[str, int] = field(default_factory=dict)
@@ -131,6 +153,7 @@ def run_pipeline(
                     f"root class {rc!r} not in discovered schema "
                     f"{sorted(result.schema.tables)}"
                 )
+        safe_names = _safe_root_names(roots)
         for rc in roots:
             traces = build_traces_df(
                 clean, result.schema, rc,
@@ -139,7 +162,7 @@ def run_pipeline(
             dest = (
                 f"{out_dir}/traces_xes"
                 if len(roots) == 1
-                else f"{out_dir}/traces_xes/{_safe_root_name(rc)}"
+                else f"{out_dir}/traces_xes/{safe_names[rc]}"
             )
             if write_sinks:
                 traces.select("case_id", "trace_xml").write.mode(
@@ -155,7 +178,7 @@ def run_pipeline(
                 from .sinks.xes import write_xes_document
 
                 doc_path = (
-                    f"{out_dir}/{_safe_root_name(rc)}_result.xes"
+                    f"{out_dir}/{safe_names[rc]}_result.xes"
                 )
                 write_xes_document(
                     trace_xml_pretty(traces), doc_path, rc, pretty=True

@@ -187,3 +187,17 @@ def test_xes_document_per_root_and_console_schema(spark, mini_docs, tmp_path):
     assert 'USER_ID FK CANDIDATE FOR: "SYSTEM"."USERS".ID' in dump
     strict_dump = res.schema.format_console(strict=True)
     assert "(STRONG PRIMARY KEY)" in strict_dump or "(PRIMARY KEY)" not in strict_dump
+
+
+def test_safe_root_names_collision_proof():
+    """Sanitizing is lossy ('"S"."T"' and 'S_._T' both map to 'S_._T');
+    colliding roots must get DISTINCT sink names (hash suffix) while
+    non-colliding roots keep the plain sanitized form (round-2 ADVICE)."""
+    from redo_log_parser_spark.pipeline import _safe_root_names
+
+    roots = ['"S"."T"', "S_._T", '"SYS"."ORDERS"']
+    names = _safe_root_names(roots)
+    assert len(set(names.values())) == 3
+    assert names['"SYS"."ORDERS"'] == "SYS_._ORDERS"  # no collision → plain
+    assert names['"S"."T"'] != names["S_._T"]
+    assert all(n.startswith("S_._T") for r, n in names.items() if r != '"SYS"."ORDERS"')

@@ -390,14 +390,19 @@ def dedup_components(
     component (the canonical representative). Docs in no pair are their
     own singleton component.
 
-    Distributed min-label propagation: each round joins labels onto the
-    (symmetrized) edge list and takes the min over {self} ∪ neighbors —
-    one shuffle join + one partial+final agg per round, label frame
-    localCheckpoint'ed so lineage stays flat. Converges in
-    O(component diameter) rounds; near-dup clusters are
-    low-diameter (a hub duplicate links its variants directly), so
-    real corpora need 2-4 rounds. Raises if max_iters rounds don't
-    converge rather than returning a partial clustering."""
+    Distributed min-label propagation WITH pointer jumping: each round
+    (1) joins labels onto the (symmetrized) edge list and takes the min
+    over {self} ∪ neighbors — one shuffle join + one partial+final agg —
+    then (2) shortcuts label(v) ← label(label(v)) with one more self-join
+    (labels are vertex ids and min-propagation keeps label(v) ≤ v, so the
+    jump is a pure improvement). Neighbor propagation alone needs
+    O(component diameter) rounds — a chain-shaped duplicate graph (each
+    doc near-dups only its neighbors) is O(n); the jump makes reach
+    roughly double per round, so even pathological chains converge in
+    O(log n) rounds (round-2 VERDICT item 8; pinned by the 200-node
+    chain test). Label frame is localCheckpoint'ed so lineage stays
+    flat. Raises if max_iters rounds don't converge rather than
+    returning a partial clustering."""
     verts = docs.select(F.col(id_col).alias("v")).distinct()
     half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = half.unionByName(
@@ -408,10 +413,25 @@ def dedup_components(
         nb = edges.join(labels, edges["src"] == labels["v"]).select(
             F.col("dst").alias("v"), "label"
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(nb)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: every label IS a vertex id, so label(label(v))
+        # exists in the same frame; left join guards the invariant
+        # rather than silently dropping rows if it were ever violated
+        jump = propagated.select(
+            F.col("v").alias("jv"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            propagated.join(jump, propagated["label"] == jump["jv"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -429,5 +449,5 @@ def dedup_components(
     edges.unpersist()
     raise RuntimeError(
         f"dedup_components did not converge in {max_iters} rounds "
-        "(pathological chain-shaped duplicate graph?)"
+        "(disconnected label cycle? diameter beyond 2^{max_iters}?)"
     )

@@ -197,3 +197,15 @@ def test_repetition_stats_values(spark):
     assert got[0] == (round(1 - 1 / 3, 6), round(1 - 1 / 2, 6), 1.0)
     assert got[1] == (0.0, 0.0, 0.2)  # 5 unique tokens -> top mass 1/5
     assert got[2] == (0.0, 0.0, 0.0)
+
+
+def test_components_long_chain_converges_via_pointer_jump(spark):
+    """A 200-node chain is the worst case for plain min-label propagation
+    (O(n) rounds — round-1 code aborted at 25); pointer jumping makes
+    reach ~double per round, so it must converge inside the default 25
+    (≈ O(log n)) with every node labeled 0."""
+    docs = _docs(spark, [(i, f"t{i}") for i in range(200)])
+    pairs = _docs(spark, [(i, i + 1) for i in range(199)], cols=("id_a", "id_b"))
+    got = {r["doc_id"]: r["component_id"]
+           for r in D.dedup_components(docs, pairs).collect()}
+    assert len(got) == 200 and set(got.values()) == {0}

@@ -70,6 +70,13 @@ def main() -> int:
         "PrettyPrinter layout)",
     )
     ap.add_argument(
+        "--verbose", action="store_true",
+        help="dump n-row heads of the extracted / parsed / transformed "
+        "entries under the reference's console headers "
+        "(cli/package.scala:23-53; head instead of full dump — the "
+        "honest Spark-scale equivalent)",
+    )
+    ap.add_argument(
         "--print-schema", action="store_true",
         help="print the discovered schema in the reference's console "
         "format (Table/Column.toString)",
@@ -96,6 +103,11 @@ def main() -> int:
         docs = read_log_files(spark, args.input)
     else:
         docs = read_documents(spark, args.input)
+
+    if args.verbose:
+        from redo_log_parser_spark.pipeline import print_verbose_entries
+
+        print_verbose_entries(docs, cfg, source=args.input)
 
     if args.no_resume:
         res = run_pipeline(docs, args.output, cfg)

@@ -82,6 +82,30 @@ def _safe_root_names(roots) -> dict[str, str]:
     }
 
 
+def print_verbose_entries(
+    docs: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    source: str = "<input>",
+    n: int = 20,
+    parser: str = "pandas",
+) -> None:
+    """`--verbose` analogue of the reference's per-entry console dumps
+    (cli/package.scala:23-53: printEntries / printParsedLogEntries /
+    printTransformedLogEntries). The reference prints EVERY entry; at
+    Spark scale a full-corpus driver dump is an anti-feature, so each
+    stage shows an n-row head under the reference's exact headers —
+    .show() computes only the partitions it needs, the rest of the plan
+    never runs."""
+    parse_fn = parse_documents if parser == "pandas" else parse_documents_sql
+    print(f"\n\nRead following log entries from {source}:")
+    docs.drop("html").show(n, truncate=False)
+    parsed = parse_fn(docs, cfg)
+    print("\n\nExtracted the following statements out of the log entries:")
+    parsed.show(n, truncate=False)
+    print("\n\nTransformed the following log entries and their row identifiers:\n")
+    uniquify_row_ids(parsed).show(n, truncate=False)
+
+
 @dataclass
 class PipelineResult:
     routed_counts: dict[str, int] = field(default_factory=dict)

@@ -61,6 +61,71 @@ def record_lineage(out_dir: str, entry: dict) -> None:
         fh.write(json.dumps(entry) + "\n")
 
 
+def run_resumable_batched(
+    docs: DataFrame,
+    out_dir: str,
+    transform,
+    n_buckets: int = 16,
+    run_id: str = "run0",
+) -> list[dict]:
+    """Resume ALL pending buckets in ONE Spark write job (round-2 VERDICT
+    item 6: at 4,096 buckets a per-bucket driver loop of jobs pays 4,096
+    job-scheduling round trips; here the bucket id is a partition column
+    and dynamic partition overwrite gives the same per-bucket idempotence
+    in a single action).
+
+    `transform(pending_df) -> DataFrame` is a pure frame transformation
+    applied to the union of all pending buckets at once; it must keep the
+    `bucket` column (the write partitions by it, so a retried bucket
+    overwrites exactly its own directory — identical recovery unit to
+    run_resumable). Per-bucket row counts for the lineage manifest come
+    from one read-back aggregate over the freshly written data, which
+    also verifies the files are readable. Use run_resumable instead when
+    each bucket genuinely needs driver-side work (e.g. its own sink
+    layout); use this for the common map-style resume."""
+    spark = docs.sparkSession
+    done = completed_buckets(spark, out_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    if not pending:
+        return []
+    t0 = time.monotonic()
+    bucketed = with_bucket(docs, n_buckets)
+    pending_df = bucketed.filter(F.col("bucket").isin(pending))
+    out = transform(pending_df)
+    if "bucket" not in out.columns:
+        raise ValueError("transform must preserve the 'bucket' column")
+    data_dir = f"{out_dir}/data"
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+    wall = time.monotonic() - t0
+    counts = {
+        r["bucket"]: r["n"]
+        for r in spark.read.parquet(data_dir)
+        .filter(F.col("bucket").isin(pending))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    results = []
+    for b in pending:
+        entry = {
+            "bucket": b,
+            "status": "ok",
+            "rows_in": int(counts.get(b, 0)),
+            "rows_clean": int(counts.get(b, 0)),
+            "rows_reject": 0,
+            "wall_sec": wall / len(pending),
+            "run_id": run_id,
+        }
+        record_lineage(out_dir, entry)
+        results.append(entry)
+    return results
+
+
 def run_resumable(
     docs: DataFrame,
     out_dir: str,

@@ -201,3 +201,79 @@ def test_safe_root_names_collision_proof():
     assert names['"SYS"."ORDERS"'] == "SYS_._ORDERS"  # no collision → plain
     assert names['"S"."T"'] != names["S_._T"]
     assert all(n.startswith("S_._T") for r, n in names.items() if r != '"SYS"."ORDERS"')
+
+
+def test_lineage_batched_resume_single_action(spark, mini_docs, tmp_path):
+    """run_resumable_batched must process ALL pending buckets in one
+    write job (plus O(1) bookkeeping jobs), keep per-bucket idempotence,
+    and skip completed buckets exactly like the per-bucket loop."""
+    from pyspark.sql import functions as F
+
+    from redo_log_parser_spark.sinks.lineage import (
+        record_lineage, run_resumable_batched,
+    )
+
+    out = str(tmp_path / "batched_out")
+    # pre-mark buckets 0 and 3 done (simulating a prior partial run)
+    for b in (0, 3):
+        record_lineage(out, {
+            "bucket": b, "status": "ok", "rows_in": 0, "rows_clean": 0,
+            "rows_reject": 0, "wall_sec": 0.0, "run_id": "r0",
+        })
+
+    def transform(df):
+        return df.select("url", "bucket", F.length("text").alias("n_chars"))
+
+    sc = spark.sparkContext
+    sc.setJobGroup("batched-resume", "batched lineage resume")
+    try:
+        r1 = run_resumable_batched(
+            mini_docs, out, transform, n_buckets=16, run_id="r1")
+    finally:
+        sc.setJobGroup(None, None)
+    # 14 pending buckets resumed by an O(1) number of jobs (1 write +
+    # 1 read-back count + AQE/file-listing extras), NOT one per bucket
+    jobs = sc.statusTracker().getJobIdsForGroup("batched-resume")
+    assert 1 <= len(jobs) <= 6, jobs
+    assert sorted(e["bucket"] for e in r1) == [b for b in range(16) if b not in (0, 3)]
+    assert completed_buckets(spark, out) == set(range(16))
+    written = spark.read.parquet(f"{out}/data")
+    n_written = written.count()
+    assert n_written == sum(e["rows_in"] for e in r1) > 0
+
+    # fully resumed: nothing pending
+    assert run_resumable_batched(
+        mini_docs, out, transform, n_buckets=16, run_id="r2") == []
+
+    # drop one bucket's lineage record -> exactly that bucket re-runs and
+    # dynamic overwrite touches only its own partition (total unchanged)
+    import glob, os
+    victim = glob.glob(f"{out}/_lineage/bucket_00005_*.json")
+    for f in victim:
+        os.remove(f)
+    r3 = run_resumable_batched(
+        mini_docs, out, transform, n_buckets=16, run_id="r3")
+    assert [e["bucket"] for e in r3] == [5]
+    assert spark.read.parquet(f"{out}/data").count() == n_written
+
+    # transform that loses the bucket column is rejected loudly
+    with pytest.raises(ValueError, match="bucket"):
+        run_resumable_batched(
+            mini_docs, str(tmp_path / "other"),
+            lambda df: df.select("url"), n_buckets=2)
+
+
+def test_verbose_entry_dumps(spark, mini_docs, capsys):
+    """--verbose analogue of the reference's printEntries /
+    printParsedLogEntries / printTransformedLogEntries
+    (cli/package.scala:23-53): all three reference headers appear, with
+    n-row heads rather than full dumps."""
+    from redo_log_parser_spark.pipeline import print_verbose_entries
+
+    print_verbose_entries(mini_docs, source="/tmp/mini.parquet", n=5)
+    out = capsys.readouterr().out
+    assert "Read following log entries from /tmp/mini.parquet:" in out
+    assert "Extracted the following statements out of the log entries:" in out
+    assert ("Transformed the following log entries and their row "
+            "identifiers:") in out
+    assert "only showing top 5 rows" in out

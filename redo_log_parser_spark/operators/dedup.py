@@ -237,31 +237,43 @@ def minhash_dedup_pairs(
     threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text",
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard (inverted-index counts
-    restricted to the candidate set via semi-joins).
+    """LSH candidates verified with exact Jaccard.
 
-    ONE shingle frame is computed and cached, shared by the signature
-    and verify stages (the explode+distinct is the dominant cost)."""
-    sh = shingles(docs, n, id_col, text_col).cache()
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, shingle_df=sh)
-    cand = minhash_lsh_candidates(sigs, bands, id_col, max_bucket_size).cache()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.withColumnRenamed(id_col, "id_a").join(
-        cand.select("id_a").distinct(), "id_a", "left_semi"
+    ONE fused per-doc aggregate computes the MinHash signature, the
+    distinct shingle SET and its size together (round-3 restructure —
+    the previous shape cached the shingle frame and re-aggregated it
+    three times, then verified through a 6-join semi-join cascade on the
+    exploded shingles; the driver bench was stage-count-bound, 12 s for
+    260k shingle rows). Verification is doc-level: candidate pairs join
+    the per-doc shingle arrays and Jaccard is |array_intersect| / union
+    — exact, since shingles() is distinct per doc. Shuffle profile:
+    shingle distinct, per-doc agg, band self-join, pair distinct, two
+    verify joins — six exchanges total, none carrying more than the
+    corpus once. At 100 TB the verify joins move shingle arrays only
+    for docs that appear in candidate pairs (inner joins on cand), and
+    degenerate buckets stay bounded via max_bucket_size."""
+    sh = shingles(docs, n, id_col, text_col)
+    per_doc = sh.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.xxhash64(F.lit(k), F.col("shingle"))) for k in range(num_hashes)]
+        ).alias("sig"),
+        F.collect_list("shingle").alias("shs"),
+        F.count("*").alias("n_sh"),
+    ).cache()
+    cand = minhash_lsh_candidates(
+        per_doc.select(id_col, "sig"), bands, id_col, max_bucket_size
     )
-    b = sh.withColumnRenamed(id_col, "id_b").join(
-        cand.select("id_b").distinct(), "id_b", "left_semi"
+    a = per_doc.select(
+        F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    common = (
-        a.join(b, "shingle")
-        .join(cand, ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    b = per_doc.select(
+        F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sz_a, "id_a").join(sz_b, "id_b")
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

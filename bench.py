@@ -127,11 +127,13 @@ def run_once(cpus: str = CPUS, sf_dir: str = SF_DIR) -> dict:
     for name, fn in qs.items():
         fn(spark, sf_dir).count()  # warm-up: JIT, codegen, file listing
         spark.catalog.clearCache()  # isolate queries (some cache internally)
-        # best of 2 timed runs: this VM shows hypervisor-steal bursts
-        # that can 5x one run of a multi-stage query (BENCH/BASELINE.md
-        # variance notes); min-of-2 bounds the damage per round record
+        # best of 3 timed runs: this VM shows scheduler/steal stalls
+        # that can 5x one run of a multi-stage query at <2% steal
+        # (BENCH/BASELINE.md variance notes; round-3 profiling measured
+        # ~50% of runs stalled with idle cores and zero iowait) —
+        # min-of-2 left ~25% odds of recording two stalled runs
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             fn(spark, sf_dir).count()  # materialize the full plan
             dt = time.monotonic() - t0

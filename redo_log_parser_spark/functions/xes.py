@@ -81,14 +81,18 @@ def trace_xml_pretty(traces: DataFrame, width: int = 200, step: int = 2) -> Data
     """(case_id, events) → (case_id, trace_xml): the scala.xml
     PrettyPrinter(200, 2) layout of one <trace> as serialized by the
     reference (TraceIDParser.scala:153-160), as a child of <log> —
-    trace tags at indent 2, events at indent 4.
+    trace tags at indent 2, events at indent 4, leaves at indent 6.
 
-    PrettyPrinter puts an element on ONE line iff all its children are
-    leaves and the serialized element is shorter than the 200-col width;
-    otherwise the start/end tags get their own lines and children sit
-    one step deeper. <event> children (string, date) are leaves, so each
-    event is one line unless includeUpdateValues pushes it past 200 —
-    then it breaks to four lines. Still pure column expressions."""
+    Layout rule — verified BYTE-FOR-BYTE against a real .xes produced by
+    compiling and running the reference itself on artifacts/redo_log.txt
+    (round-3; see tests/test_xes_sink.py): PrettyPrinter inlines an
+    element only when `childrenAreLeaves` holds, and its isLeaf covers
+    Atom/Comment/EntityRef/ProcInstr — child ELEMENTS are never leaves.
+    <event> contains <string/> and <date/> elements, so every event
+    breaks into four lines no matter how short; the 200-col width never
+    comes into play on this document shape (the earlier model inlined
+    events under 200 cols — that was wrong). Still pure column
+    expressions."""
     i_trace, i_event, i_leaf = " " * step, " " * (2 * step), " " * (3 * step)
     str_el = lambda e: F.concat(  # noqa: E731
         F.lit('<string key="concept:name" value="'),
@@ -98,21 +102,14 @@ def trace_xml_pretty(traces: DataFrame, width: int = 200, step: int = 2) -> Data
     date_el = lambda e: F.concat(  # noqa: E731
         F.lit('<date key="time:timestamp" value="'), e["xes_ts"], F.lit('"/>')
     )
-    one_line = lambda e: F.concat(  # noqa: E731
-        F.lit("<event>"), str_el(e), date_el(e), F.lit("</event>")
-    )
     event_block = F.transform(
         F.col("events"),
-        lambda e: F.when(
-            F.length(one_line(e)) < width, F.concat(F.lit(i_event), one_line(e))
-        ).otherwise(
-            F.concat_ws(
-                "\n",
-                F.lit(i_event + "<event>"),
-                F.concat(F.lit(i_leaf), str_el(e)),
-                F.concat(F.lit(i_leaf), date_el(e)),
-                F.lit(i_event + "</event>"),
-            )
+        lambda e: F.concat_ws(
+            "\n",
+            F.lit(i_event + "<event>"),
+            F.concat(F.lit(i_leaf), str_el(e)),
+            F.concat(F.lit(i_leaf), date_el(e)),
+            F.lit(i_event + "</event>"),
         ),
     )
     return traces.withColumn(

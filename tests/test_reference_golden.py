@@ -70,3 +70,43 @@ def test_reference_trace_assembly_runs(ref_events, ref_schema):
     # every trace is non-empty and ordered by (ts, url)
     bad = traces.filter(F.size("events") == 0).count()
     assert bad == 0
+
+
+def test_console_dump_matches_real_reference_output(spark):
+    """format_console vs the ACTUAL reference binary's console schema
+    dump on artifacts/redo_log.txt (tests/fixtures/README.md): same
+    tables, and per table the exact same column lines — PK markers,
+    trailing-space layout, FK CANDIDATE targets — as line sets (the
+    reference emits Scala-HashMap order, format_console sorts;
+    documented divergence). Eager IND = the reference's latched fold."""
+    import os
+
+    from redo_log_parser_spark.functions.parse import parse_documents
+    from redo_log_parser_spark.operators.rowid import uniquify_row_ids
+    from redo_log_parser_spark.operators.schema_discovery import (
+        discover_schema, summarize_schema)
+    from redo_log_parser_spark.sources.logfile import read_log_files
+
+    docs = read_log_files(spark, "/root/reference/artifacts/redo_log.txt")
+    events = uniquify_row_ids(parse_documents(docs))
+    cols, ind = discover_schema(events, ind_mode="eager")
+    dump = summarize_schema(cols, ind).format_console()
+
+    def parse_dump(s):
+        tables, cur = {}, None
+        for line in s.splitlines():
+            if not line.strip():
+                continue
+            if line.startswith("TABLE "):
+                cur = line[6:]
+                tables[cur] = set()
+            else:
+                tables[cur].add(line.rstrip())
+        return tables
+
+    ref_path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "reference_redo_log_schema.txt")
+    ref, ours = parse_dump(open(ref_path).read()), parse_dump(dump)
+    assert set(ref) == set(ours)
+    for t in ref:
+        assert ref[t] == ours[t], (t, ref[t] ^ ours[t])

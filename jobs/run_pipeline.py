@@ -64,6 +64,15 @@ def main() -> int:
         "(SchemaDeriver.scala:69-93) instead of final-state inclusion",
     )
     ap.add_argument(
+        "--reference-monotonicity", action="store_true",
+        help="strict-PK fidelity mode: treat every column's values as "
+        "increasing, matching the shipped reference binary whose "
+        "monotonicity check is vacuously true (Column.scala:104-124 "
+        "cons-pattern bug, verified against a real run — "
+        "tests/fixtures/README.md); default computes the real "
+        "log-order signal",
+    )
+    ap.add_argument(
         "--xes-file", action="store_true",
         help="also assemble one complete .xes document per root "
         "(<output>/<root>_result.xes, the reference CLI's output file, "
@@ -93,6 +102,7 @@ def main() -> int:
         include_update_values=args.include_update_values,
         strict_primary_keys=args.strict,
         eager_ind=args.eager_ind,
+        reference_monotonicity=args.reference_monotonicity,
         xes_document=args.xes_file,
         root_classes=tuple(args.root_class or ()),
         output_dir=args.output,

@@ -67,6 +67,13 @@ class PipelineConfig:
     # CLI output, '<out>/<root>_result.xes', PrettyPrinter layout) —
     # driver-side streaming assembly; for reference-CLI-sized outputs.
     xes_document: bool = False
+    # Monotonicity semantics for strict-PK checks: False = real
+    # log-order signal (the reference's documented intent), True =
+    # constant-true, byte-faithful to the shipped binary whose
+    # increasing check is vacuous (round-3 discovery — a List cons
+    # extractor never matches HashMap.values.toSeq sliding windows,
+    # Column.scala:104-124; see operators/schema_discovery.monotonicity).
+    reference_monotonicity: bool = False
 
     # --- Spark-scale knobs (no reference equivalent) ---
     # Salt buckets for skewed trace collection (hot case_ids / hot hosts).

@@ -161,6 +161,7 @@ def run_pipeline(
         clean,
         strict=cfg.strict_primary_keys,
         ind_mode="eager" if cfg.eager_ind else "final",
+        mono_mode="reference" if cfg.reference_monotonicity else "log",
     )
     result.schema = summarize_schema(cols_df, ind_df)
 

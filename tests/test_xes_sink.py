@@ -136,15 +136,20 @@ def test_pretty_xes_document_golden_bytes(spark, tmp_path):
     assert len(root.findall(f"{ns}trace")[0].findall(f"{ns}event")) == 2
 
 
-def test_xes_bytes_match_real_reference_output(spark, tmp_path):
+@pytest.mark.parametrize("root,fixture,n_traces", [
+    ('"SYSTEM"."ORDERS"', "reference_redo_log_ORDERS_result.xes", 64),
+    ('"SYSTEM"."USERS"', "reference_redo_log_USERS_result.xes", 49),
+])
+def test_xes_bytes_match_real_reference_output(spark, tmp_path, root,
+                                               fixture, n_traces):
     """Byte-level golden against the ACTUAL reference implementation's
     .xes (tests/fixtures/README.md documents the capture): running the
-    Spark pipeline on the reference's own artifacts/redo_log.txt with
-    root "SYSTEM"."ORDERS" must reproduce the reference file exactly —
-    byte-equal header and footer, and byte-identical <trace> blocks as a
-    multiset (document-level trace ORDER is the one documented
-    divergence: the reference emits Scala-HashMap iteration order, the
-    pipeline sorts by case id)."""
+    Spark pipeline on the reference's own artifacts/redo_log.txt must
+    reproduce the reference file exactly for each root — byte-equal
+    header and footer, and byte-identical <trace> blocks as a multiset
+    (document-level trace ORDER is the one documented divergence: the
+    reference emits Scala-HashMap iteration order, the pipeline sorts
+    by case id)."""
     import os
     import re
 
@@ -154,20 +159,17 @@ def test_xes_bytes_match_real_reference_output(spark, tmp_path):
     events = uniquify_row_ids(parse_documents(docs)).cache()
     cols_df, ind_df = discover_schema(events)
     schema = summarize_schema(cols_df, ind_df)
-    traces = build_traces_df(events, schema, '"SYSTEM"."ORDERS"')
+    traces = build_traces_df(events, schema, root)
     path = str(tmp_path / "got.xes")
     from redo_log_parser_spark.functions.xes import trace_xml_pretty
-    write_xes_document(
-        trace_xml_pretty(traces), path, '"SYSTEM"."ORDERS"', pretty=True
-    )
+    write_xes_document(trace_xml_pretty(traces), path, root, pretty=True)
     got = open(path).read()
     ref = open(
-        os.path.join(os.path.dirname(__file__), "fixtures",
-                     "reference_redo_log_ORDERS_result.xes")
+        os.path.join(os.path.dirname(__file__), "fixtures", fixture)
     ).read()
     blocks = lambda s: re.findall(r"[ ]*<trace>.*?</trace>", s, re.S)  # noqa: E731
     tg, tr = blocks(got), blocks(ref)
     assert got[:got.index("<trace>") - 2] == ref[:ref.index("<trace>") - 2]
     assert got[got.rindex("</trace>"):] == ref[ref.rindex("</trace>"):]
-    assert len(tg) == len(tr) == 64
+    assert len(tg) == len(tr) == n_traces
     assert sorted(tg) == sorted(tr)

@@ -1,0 +1,210 @@
+"""Seeded random redo-log generator for differential fuzzing.
+
+Generates format-valid logs in the reference's 2-line chunk layout
+(statement line + `ROWID  dd-MMM-yyyy HH:mm:ss` line, whitespace-only
+separators, trailing-space noise) with randomized schema shape and
+lifecycle structure:
+
+- 2-4 tables, 1-4 columns each (ID + name/state/amount/FK-shaped extras)
+- per-row lifecycles: insert -> updates (old-value chains) -> optional
+  delete -> optional ROWID-reuse re-insert (incarnation restarts,
+  EventExtractor.scala:44-87) or a rare update-after-delete
+  (statement-after-delete restart)
+- value regimes chosen per column: unique sequential ints, fixed-width
+  (string-increasing) ids, collision-prone small ints, names, state
+  machines, parent-id references (so IND/FK discovery sees real
+  inclusion structure that deletes can break)
+- global interleave via random merge preserving per-row statement order
+- timestamps that advance 0-2 s per statement (equal-ts ties common)
+
+No ground truth is planned: the REFERENCE BINARY is the oracle
+(tests/refbin.py). The generator only guarantees the input is in-format.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from redo_log_parser_spark.fixtures import Stmt, _fmt_ts, _rowid
+
+_TABLE_POOL = ["USERS", "ORDERS", "INVOICES", "ITEMS", "SHIPMENTS"]
+_NAME_POOL = [
+    "Liam", "Emma", "Noah", "Olivia", "Ava", "Mason", "Harper", "Logan",
+]
+_STATE_POOL = ["created", "checking", "confirmed", "paid", "sent", "void"]
+
+
+class _ColSpec:
+    """Value generator for one column."""
+
+    def __init__(self, kind: str, rng: random.Random, parent_ids=None):
+        self.kind = kind
+        self.base = rng.randrange(0, 5000)
+        self.width = rng.choice([3, 4])
+        self.small = rng.randrange(2, 9)
+        self.parent_ids = parent_ids or []
+        self.counter = 0
+
+    def fresh(self, rng: random.Random) -> str:
+        self.counter += 1
+        i = self.counter
+        if self.kind == "seq":
+            return str(self.base + i)
+        if self.kind == "seqpad":
+            return f"{self.base + i:0{self.width}d}"
+        if self.kind == "dup":
+            return str(rng.randrange(self.small))
+        if self.kind == "name":
+            return rng.choice(_NAME_POOL)
+        if self.kind == "state":
+            return _STATE_POOL[0]
+        if self.kind == "fk":
+            return rng.choice(self.parent_ids) if self.parent_ids else "0"
+        raise AssertionError(self.kind)
+
+    def next_update(self, rng: random.Random, cur: str) -> str:
+        if self.kind == "state":
+            nxt = _STATE_POOL[
+                min(_STATE_POOL.index(cur) + 1, len(_STATE_POOL) - 1)
+            ]
+            return nxt
+        return self.fresh(rng)
+
+
+def _ins(table: str, row_id: str, cols: list[str], vals: list[str]) -> Stmt:
+    col_s = ",".join(f'"{c}"' for c in cols)
+    val_s = ",".join(f"'{v}'" for v in vals)
+    return Stmt(
+        f'insert into "SYSTEM"."{table}"({col_s}) values ({val_s});', row_id
+    )
+
+
+def _upd(table: str, row_id: str, attr: str, new: str, old: str) -> Stmt:
+    return Stmt(
+        f'update "SYSTEM"."{table}" set "{attr}" = \'{new}\' where "{attr}" ='
+        f" '{old}' and ROWID = '{row_id}';",
+        row_id,
+    )
+
+
+def _del(table: str, row_id: str, state: dict[str, str],
+         full_where: bool, rng: random.Random) -> Stmt:
+    if full_where:
+        where = " and ".join(f'"{c}" = \'{v}\'' for c, v in state.items())
+    else:
+        c, v = rng.choice(list(state.items()))
+        where = f'"{c}" = \'{v}\''
+    return Stmt(
+        f'delete from "SYSTEM"."{table}" where {where} and ROWID ='
+        f" '{row_id}';",
+        row_id,
+    )
+
+
+def fuzz_statements(seed: int) -> tuple[list[Stmt], list[str]]:
+    """Return (statements, table_ids). Deterministic per seed."""
+    rng = random.Random(seed)
+    n_tables = rng.randint(2, 4)
+    tables = _TABLE_POOL[:n_tables]
+    specs: dict[str, dict[str, _ColSpec]] = {}
+    id_values: dict[str, list[str]] = {t: [] for t in tables}
+    cols_of: dict[str, list[str]] = {}
+
+    for ti, t in enumerate(tables):
+        id_kind = rng.choice(["seq", "seqpad", "seq", "dup"])
+        tcols: dict[str, _ColSpec] = {"ID": _ColSpec(id_kind, rng)}
+        if ti > 0 and rng.random() < 0.8:
+            parent = tables[rng.randrange(ti)]
+            tcols[f"{parent}_ID"] = _ColSpec(
+                "fk", rng, parent_ids=id_values[parent]
+            )
+        for extra, kind in (("NAME", "name"), ("STATE", "state"),
+                            ("AMOUNT", "dup")):
+            if rng.random() < 0.5:
+                tcols[extra] = _ColSpec(kind, rng)
+        cols_of[t] = list(tcols)
+        specs[t] = tcols
+
+    # Build per-row op queues (parents first so FK pools are populated).
+    queues: list[list[Stmt]] = []
+    for t in tables:
+        tcols = specs[t]
+        n_rows = rng.randint(3, 14)
+        for r in range(n_rows):
+            rid = _rowid(f"F{seed % 997}{t[:2]}", r)
+            ops: list[Stmt] = []
+
+            def spawn() -> dict[str, str]:
+                st = {c: tcols[c].fresh(rng) for c in cols_of[t]}
+                if "ID" in st:
+                    id_values[t].append(st["ID"])
+                ops.append(_ins(t, rid, cols_of[t], list(st.values())))
+                return st
+
+            state = spawn()
+            for _ in range(rng.randint(0, 3)):
+                upd_pool = [c for c in cols_of[t]
+                            if c != "ID" or rng.random() < 0.15]
+                if not upd_pool:
+                    continue
+                c = rng.choice(upd_pool)
+                new = tcols[c].next_update(rng, state[c])
+                if new == state[c]:
+                    continue
+                ops.append(_upd(t, rid, c, new, state[c]))
+                state[c] = new
+                if c == "ID":
+                    id_values[t].append(new)
+            if rng.random() < 0.35:
+                ops.append(
+                    _del(t, rid, state, rng.random() < 0.7, rng)
+                )
+                roll = rng.random()
+                if roll < 0.35:
+                    state = spawn()  # ROWID-reuse restart
+                    if rng.random() < 0.5:
+                        c = rng.choice(cols_of[t])
+                        new = tcols[c].next_update(rng, state[c])
+                        if new != state[c]:
+                            ops.append(_upd(t, rid, c, new, state[c]))
+                elif roll < 0.45:
+                    # statement-after-delete restart via update
+                    c = rng.choice(cols_of[t])
+                    ops.append(
+                        _upd(t, rid, c, tcols[c].fresh(rng), state[c])
+                    )
+            queues.append(ops)
+
+    # Random merge preserving per-row order.
+    stmts: list[Stmt] = []
+    live = [q for q in queues if q]
+    while live:
+        q = live[rng.randrange(len(live))]
+        stmts.append(q.pop(0))
+        if not q:
+            live.remove(q)
+    return stmts, [f'"SYSTEM"."{t}"' for t in tables]
+
+
+def render_log(stmts: list[Stmt], seed: int,
+               start: datetime = datetime(2020, 7, 21, 16, 29, 41)) -> str:
+    """Reference file layout: 2-line chunks + whitespace-only separator
+    lines, trailing-space noise, 0-2 s timestamp steps."""
+    rng = random.Random(seed * 31 + 7)
+    ts = start
+    out: list[str] = []
+    for i, s in enumerate(stmts):
+        ts = ts + timedelta(seconds=rng.choice([0, 0, 1, 1, 2]))
+        out.append(s.statement + " " * (i % 3))
+        out.append(f"{s.row_id} {' ' * (i % 2)}{_fmt_ts(ts)}".ljust(80))
+        out.append(" " * (i % 2))
+    return "\n".join(out) + "\n"
+
+
+def write_fuzz_log(seed: int, path: str) -> list[str]:
+    """Generate, render and write the seed's log; return its table ids."""
+    stmts, tables = fuzz_statements(seed)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(render_log(stmts, seed))
+    return tables

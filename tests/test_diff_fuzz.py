@@ -1,0 +1,114 @@
+"""Differential fuzzing against the REAL reference binary.
+
+Each seed generates a random format-valid redo log (tests/fuzzgen.py),
+runs the actual reference implementation in-sandbox (tests/refbin.py —
+compiled from /root/reference sources, tests/fixtures/README.md), runs
+the Spark engine on the same file, and demands:
+
+- plain console schema dump: identical {table: column-line set}s
+  (eager IND = the reference's SchemaDeriver latch; order-free at the
+  table/column/FK-target levels — all Scala-HashMap artifacts)
+- strict console schema dump: identical, with mono_mode='reference'
+  (the shipped binary's vacuously-true increasing check)
+- .xes for a seed-chosen root: byte-equal header/footer and
+  byte-identical <trace> blocks as multisets, plain AND
+  --includeUpdateValues
+
+No planned ground truth: the reference binary IS the oracle, so any
+mismatch is a semantics divergence, not a fixture bug. A wider sweep
+ran offline (DIFF_FUZZ_SEEDS, see FIXTURES.md §fuzz)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from redo_log_parser_spark.functions.parse import parse_documents
+from redo_log_parser_spark.functions.xes import trace_xml_pretty
+from redo_log_parser_spark.operators.rowid import uniquify_row_ids
+from redo_log_parser_spark.operators.schema_discovery import (
+    discover_schema, summarize_schema)
+from redo_log_parser_spark.pipeline import build_traces_df
+from redo_log_parser_spark.sinks.xes import write_xes_document
+from redo_log_parser_spark.sources.logfile import read_log_files
+
+from fuzzgen import write_fuzz_log
+from refbin import ensure_reference_build, parse_schema_dump, run_reference
+
+SEEDS = [int(s) for s in os.environ.get(
+    "DIFF_FUZZ_SEEDS", "101,202,303,404,505").split(",")]
+
+_TRACE_RE = re.compile(r"[ ]*<trace>.*?</trace>", re.S)
+
+
+@pytest.fixture(scope="module")
+def ref_cp():
+    try:
+        cp = ensure_reference_build()
+    except RuntimeError as e:  # toolchain present but build broke
+        pytest.skip(f"reference build failed: {e}")
+    if cp is None:
+        pytest.skip("Scala toolchain / reference sources unavailable")
+    return cp
+
+
+def _assert_schema_dumps_equal(ours: str, ref: str, label: str) -> None:
+    a, b = parse_schema_dump(ref), parse_schema_dump(ours)
+    assert set(a) == set(b), (label, set(a) ^ set(b))
+    for t in a:
+        assert a[t] == b[t], (label, t, a[t] ^ b[t])
+
+
+def _assert_xes_equal(ours: str, ref: str, label: str) -> None:
+    assert ours[:ours.index("<trace>") - 2] == ref[:ref.index("<trace>") - 2], label
+    assert ours[ours.rindex("</trace>"):] == ref[ref.rindex("</trace>"):], label
+    tg, tr = _TRACE_RE.findall(ours), _TRACE_RE.findall(ref)
+    assert len(tg) == len(tr), (label, len(tg), len(tr))
+    assert sorted(tg) == sorted(tr), label
+
+
+def _our_xes(events, schema, root, path, include_update_values):
+    traces = build_traces_df(
+        events, schema, root, include_update_values=include_update_values)
+    write_xes_document(trace_xml_pretty(traces), path, root, pretty=True)
+    return open(path, encoding="utf-8").read()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_matches_reference(spark, tmp_path, ref_cp, seed):
+    log = str(tmp_path / "fuzz.log")
+    tables = write_fuzz_log(seed, log)
+    root = tables[seed % len(tables)]
+
+    ref_plain, ref_xes = run_reference(log, root, str(tmp_path / "r1.xes"))
+    ref_strict, _ = run_reference(
+        log, "-", str(tmp_path / "r2.xes"), strict=True)
+    _, ref_xes_upd = run_reference(
+        log, root, str(tmp_path / "r3.xes"), updvals=True)
+
+    docs = read_log_files(spark, log)
+    events = uniquify_row_ids(parse_documents(docs)).cache()
+    try:
+        assert events.filter("parse_error is not null").count() == 0
+
+        cols, ind = discover_schema(events, ind_mode="eager")
+        schema = summarize_schema(cols, ind)
+        _assert_schema_dumps_equal(
+            schema.format_console(), ref_plain, f"seed={seed} plain")
+
+        cols_s, ind_s = discover_schema(
+            events, strict=True, ind_mode="eager", mono_mode="reference")
+        _assert_schema_dumps_equal(
+            summarize_schema(cols_s, ind_s).format_console(strict=True),
+            ref_strict, f"seed={seed} strict")
+
+        _assert_xes_equal(
+            _our_xes(events, schema, root, str(tmp_path / "o1.xes"), False),
+            ref_xes, f"seed={seed} xes")
+        _assert_xes_equal(
+            _our_xes(events, schema, root, str(tmp_path / "o3.xes"), True),
+            ref_xes_upd, f"seed={seed} xes updvals")
+    finally:
+        events.unpersist()

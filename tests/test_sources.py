@@ -1,0 +1,54 @@
+"""Documents-source robustness: nanosecond-timestamp parquet.
+
+pyarrow writes pandas datetimes as TIMESTAMP(NANOS) by default, which
+Spark's parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+read_documents must transparently fall back to the legacy nanos-as-long
+read and rebuild warc_ts at micro precision — previously a documented
+user-facing footgun (CLAUDE.md known gaps)."""
+
+import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from redo_log_parser_spark.sources.documents import read_documents
+
+
+def _write(tmp_path, name, coerce=None):
+    df = pd.DataFrame({
+        "url": ["https://a.example/1", "https://a.example/2"],
+        "warc_ts": pd.to_datetime(
+            ["2020-07-21 16:29:41.123456789", "2020-07-21 16:29:42.5"]),
+        "html": [b"\x00", b"\x01"],
+        "text": ["t1", "t2"],
+        "lang": ["en", "de"],
+    })
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    path = str(tmp_path / name)
+    kw = (
+        {"coerce_timestamps": coerce, "allow_truncated_timestamps": True}
+        if coerce else {}
+    )
+    pq.write_table(table, path, **kw)
+    return path
+
+
+def test_read_documents_nanos_parquet(spark, tmp_path):
+    path = _write(tmp_path, "ns.parquet")  # pyarrow default: NANOS
+    assert pa.parquet.read_schema(path).field("warc_ts").type == pa.timestamp("ns")
+    df = read_documents(spark, path)
+    assert dict(df.dtypes)["warc_ts"].startswith("timestamp")
+    rows = {r["url"]: r["warc_ts"] for r in df.collect()}
+    # ns truncated to µs, value preserved
+    assert rows["https://a.example/1"] == datetime.datetime(
+        2020, 7, 21, 16, 29, 41, 123456)
+    assert rows["https://a.example/2"] == datetime.datetime(
+        2020, 7, 21, 16, 29, 42, 500000)
+
+
+def test_read_documents_micros_parquet_unchanged(spark, tmp_path):
+    path = _write(tmp_path, "us.parquet", coerce="us")
+    df = read_documents(spark, path)
+    assert dict(df.dtypes)["warc_ts"].startswith("timestamp")
+    assert df.count() == 2

@@ -89,16 +89,46 @@ def trace_xml_pretty(traces: DataFrame, width: int = 200, step: int = 2) -> Data
     element only when `childrenAreLeaves` holds, and its isLeaf covers
     Atom/Comment/EntityRef/ProcInstr — child ELEMENTS are never leaves.
     <event> contains <string/> and <date/> elements, so every event
-    breaks into four lines no matter how short; the 200-col width never
-    comes into play on this document shape (the earlier model inlined
-    events under 200 cols — that was wrong). Still pure column
+    breaks into four lines no matter how short (the earlier model
+    inlined events under 200 cols — that was wrong). The 200-col width
+    DOES apply to each leaf line: see the three-regime comment below,
+    all regimes probed against the real binary. Still pure column
     expressions."""
     i_trace, i_event, i_leaf = " " * step, " " * (2 * step), " " * (3 * step)
-    str_el = lambda e: F.concat(  # noqa: E731
-        F.lit('<string key="concept:name" value="'),
-        xml_escape_attr(e["event_name"]),
-        F.lit('"/>'),
-    )
+    # Leaf layout — all three regimes VERIFIED against the real binary
+    # by differential fuzzing + threshold probes (seed 202 caught the
+    # collapse; length sweep 195..210 pinned the cutovers):
+    #
+    # PrettyPrinter first builds `test` = the element's self-closing
+    # serialization passed through TextBuffer, which maps every
+    # whitespace char to ' ' and collapses runs — INCLUDING inside
+    # attribute values ("two  spaces" prints as "two spaces"). Then:
+    #   1. len(test) < width           → one inline line: {i_leaf}{test}
+    #      (fits() ignores the indent — the rendered line may exceed
+    #      width by up to len(i_leaf))
+    #   2. len(open_tag_RAW) < width   → {i_leaf}{open_tag_RAW} then
+    #      {i_leaf}</string> — open tag comes from startTag(), which
+    #      does NOT TextBuffer-collapse, so whitespace runs survive;
+    #      reachable only in the one-byte window len(test) == width
+    #   3. otherwise                   → {i_leaf}{open_tag_RAW} then
+    #      </string> at column 0 (makeBox(cur=…) after the para path)
+    # In chars of the escaped name: test = 37 + len(collapsed_escaped),
+    # open_tag = 36 + len(raw_escaped).
+    def str_el_lines(e):
+        raw = xml_escape_attr(e["event_name"])
+        col = F.regexp_replace(raw, r"\s+", " ")
+        prefix = i_leaf + '<string key="concept:name" value="'
+        inline = F.concat(F.lit(prefix), col, F.lit('"/>'))
+        open_raw = F.concat(F.lit(prefix), raw, F.lit('">'))
+        return (
+            F.when(F.length(col) <= width - 38, inline)
+            .when(
+                F.length(raw) <= width - 37,
+                F.concat(open_raw, F.lit("\n" + i_leaf + "</string>")),
+            )
+            .otherwise(F.concat(open_raw, F.lit("\n</string>")))
+        )
+
     date_el = lambda e: F.concat(  # noqa: E731
         F.lit('<date key="time:timestamp" value="'), e["xes_ts"], F.lit('"/>')
     )
@@ -107,7 +137,7 @@ def trace_xml_pretty(traces: DataFrame, width: int = 200, step: int = 2) -> Data
         lambda e: F.concat_ws(
             "\n",
             F.lit(i_event + "<event>"),
-            F.concat(F.lit(i_leaf), str_el(e)),
+            str_el_lines(e),
             F.concat(F.lit(i_leaf), date_el(e)),
             F.lit(i_event + "</event>"),
         ),

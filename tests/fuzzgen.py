@@ -29,8 +29,18 @@ from datetime import datetime, timedelta
 from redo_log_parser_spark.fixtures import Stmt, _fmt_ts, _rowid
 
 _TABLE_POOL = ["USERS", "ORDERS", "INVOICES", "ITEMS", "SHIPMENTS"]
+# The second half is the ADVERSARIAL alphabet: values the reference's
+# greedy full-match regexes + substring stripping survive (calibrated
+# against the real binary) but that exercise the nasty backtracking
+# paths — embedded '=', ';', parens, 'where', 'AND', double spaces,
+# leading/trailing spaces, an apostrophe, the empty string. Excluded
+# because they CRASH the reference (so no parity target exists):
+# ',' (insert split arity check), ' and ' (delete split MatchError),
+# ' = ' (update attribute1 != attribute2 check).
 _NAME_POOL = [
     "Liam", "Emma", "Noah", "Olivia", "Ava", "Mason", "Harper", "Logan",
+    "", "a=b", "x;y", "q(r", "s)t", "u where u", "andy AND b",
+    "two  spaces", "trail ", " lead", "u_s-d.d:c", "it's",
 ]
 _STATE_POOL = ["created", "checking", "confirmed", "paid", "sent", "void"]
 

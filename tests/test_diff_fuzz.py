@@ -76,6 +76,50 @@ def _our_xes(events, schema, root, path, include_update_values):
     return open(path, encoding="utf-8").read()
 
 
+def test_xes_pretty_width_regimes_match_reference(spark, tmp_path, ref_cp):
+    """Byte parity with the binary across ALL PrettyPrinter leaf-layout
+    regimes in one log: whitespace-collapse inside an inlined value
+    ("two  spaces"), the inline/break threshold at serialized length
+    199/200/201, the one-byte window where </string> stays indented,
+    raw (uncollapsed) open tags in the broken regimes, an apostrophe,
+    and leading/trailing spaces."""
+    ts_line = "21-JUL-2020 16:29:41"
+    values = [
+        "two  spaces",      # inline, collapsed
+        "y" * 99,           # collapsed test len 199 -> inline
+        "y" * 100,          # exactly 200 -> open tag + indented </string>
+        "y" * 101,          # 201 -> open tag + </string> at col 0
+        "a  " + "y" * 98,   # collapsed 200, raw open tag 200 -> col 0
+        "it's",             # apostrophe passes through unescaped
+        " lead",
+        "trail ",
+    ]
+    lines = []
+    for i, v in enumerate(values):
+        rid = f"AAAROWIDAAAAAAAA{i:02d}"
+        lines += [
+            f'insert into "SYSTEM"."T"("ID","VAL") values (\'{i}\',\'s{i}\');',
+            f"{rid} {ts_line}".ljust(80), "",
+            f'update "SYSTEM"."T" set "VAL" = \'{v}\' where "VAL" = \'s{i}\''
+            f" and ROWID = '{rid}';",
+            f"{rid} {ts_line}".ljust(80), "",
+        ]
+    log = str(tmp_path / "widths.log")
+    open(log, "w").write("\n".join(lines) + "\n")
+
+    root = '"SYSTEM"."T"'
+    _, ref_xes = run_reference(
+        log, root, str(tmp_path / "ref.xes"), updvals=True)
+
+    docs = read_log_files(spark, log)
+    events = uniquify_row_ids(parse_documents(docs)).cache()
+    cols, ind = discover_schema(events, ind_mode="eager")
+    schema = summarize_schema(cols, ind)
+    got = _our_xes(events, schema, root, str(tmp_path / "ours.xes"), True)
+    events.unpersist()
+    _assert_xes_equal(got, ref_xes, "width regimes")
+
+
 @pytest.mark.parametrize("seed", SEEDS)
 def test_fuzz_matches_reference(spark, tmp_path, ref_cp, seed):
     log = str(tmp_path / "fuzz.log")

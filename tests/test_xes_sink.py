@@ -83,20 +83,26 @@ def test_streaming_stateful_incarnations(spark, mini_docs, tmp_path):
 
 def test_pretty_xes_document_golden_bytes(spark, tmp_path):
     """pretty=True must reproduce the scala.xml PrettyPrinter(200,2) +
-    XML.save layout byte-for-byte (VERIFIED against a real reference run
+    XML.save layout byte-for-byte (VERIFIED against real reference runs
     in round 3 — tests/fixtures/README.md): single-quoted xml decl,
     2-space steps, EVERY event broken to four lines (PrettyPrinter never
     inlines elements whose children are elements, whatever the width),
-    &quot;-escaped attribute text."""
+    &quot;-escaped attribute text. A leaf whose self-closing
+    serialization reaches the 200-col width is NOT inlined: the raw
+    open tag gets its own line and </string> lands at column 0
+    (threshold regimes probed against the binary — see
+    trace_xml_pretty)."""
     from redo_log_parser_spark.functions.xes import trace_xml_pretty
 
     long_name = "Update X value of \"S\".\"T\" entity to " + "y" * 160
+    collapsy = "Update X value of \"S\".\"T\" entity to two  spaces"
     rows = [
         (
             "c1",
             [
                 ('Add "S"."T" entity', "2020-07-21T16:29:41.000+00:00"),
                 (long_name, "2020-07-21T16:29:42.000+00:00"),
+                (collapsy, "2020-07-21T16:29:43.000+00:00"),
             ],
         )
     ]
@@ -109,7 +115,8 @@ def test_pretty_xes_document_golden_bytes(spark, tmp_path):
         trace_xml_pretty(traces), path, '"S"."T"', pretty=True
     )
     assert n == 1
-    esc_long = long_name.replace('"', "&quot;")
+    esc_long = long_name.replace('"', "&quot;")  # raw: 216 chars -> regime 3
+    esc_collapsed = collapsy.replace('"', "&quot;").replace("  ", " ")
     want = (
         "<?xml version='1.0' encoding='UTF-8'?>\n"
         '<log xes.version="2.0" xmlns="http://www.xes-standard.org/">\n'
@@ -122,8 +129,13 @@ def test_pretty_xes_document_golden_bytes(spark, tmp_path):
         '      <date key="time:timestamp" value="2020-07-21T16:29:41.000+00:00"/>\n'
         "    </event>\n"
         "    <event>\n"
-        f'      <string key="concept:name" value="{esc_long}"/>\n'
+        f'      <string key="concept:name" value="{esc_long}">\n'
+        "</string>\n"
         '      <date key="time:timestamp" value="2020-07-21T16:29:42.000+00:00"/>\n'
+        "    </event>\n"
+        "    <event>\n"
+        f'      <string key="concept:name" value="{esc_collapsed}"/>\n'
+        '      <date key="time:timestamp" value="2020-07-21T16:29:43.000+00:00"/>\n'
         "    </event>\n"
         "  </trace>\n"
         "</log>"
@@ -133,7 +145,7 @@ def test_pretty_xes_document_golden_bytes(spark, tmp_path):
     # and it is still well-formed XML with the right structure
     root = ET.parse(path).getroot()
     ns = "{http://www.xes-standard.org/}"
-    assert len(root.findall(f"{ns}trace")[0].findall(f"{ns}event")) == 2
+    assert len(root.findall(f"{ns}trace")[0].findall(f"{ns}event")) == 3
 
 
 @pytest.mark.parametrize("root,fixture,n_traces", [

@@ -120,6 +120,49 @@ def test_xes_pretty_width_regimes_match_reference(spark, tmp_path, ref_cp):
     _assert_xes_equal(got, ref_xes, "width regimes")
 
 
+def test_timestamp_pattern_matches_reference(spark, tmp_path, ref_cp):
+    """--timestampPattern parity with the binary: an alternate pattern
+    (yyyy-MM-dd HH:mm:ss) plus mixed-case month names under the default
+    pattern (the reference's formatter is parseCaseInsensitive,
+    parser/package.scala:13-16). Byte-level .xes comparison so the
+    XES-timestamp rendering of the parsed instants is covered too."""
+    from redo_log_parser_spark.config import PipelineConfig
+
+    cases = [
+        ("yyyy-MM-dd HH:mm:ss",
+         ["2020-07-21 16:29:41", "2020-07-21 16:29:43", "2020-12-31 23:59:59"]),
+        ("",  # default dd-MMM-yyyy HH:mm:ss, case-insensitive months
+         ["21-jul-2020 16:29:41", "21-Jul-2020 16:29:43",
+          "31-DEC-2020 23:59:59"]),
+    ]
+    for pat, stamps in cases:
+        lines = []
+        for i, ts in enumerate(stamps):
+            rid = f"AAAROWIDAAAAAAAA{i:02d}"
+            lines += [
+                f'insert into "SYSTEM"."T"("ID","VAL") values'
+                f" ('{i}','v{i}');",
+                f"{rid} {ts}".ljust(80), "",
+            ]
+        log = str(tmp_path / f"ts_{bool(pat)}.log")
+        open(log, "w").write("\n".join(lines) + "\n")
+
+        root = '"SYSTEM"."T"'
+        _, ref_xes = run_reference(
+            log, root, str(tmp_path / "ref.xes"), ts_pattern=pat)
+
+        cfg = (PipelineConfig(ts_format_java=pat) if pat
+               else PipelineConfig())
+        docs = read_log_files(spark, log)
+        events = uniquify_row_ids(parse_documents(docs, cfg=cfg)).cache()
+        assert events.filter("parse_error is not null").count() == 0
+        cols, ind = discover_schema(events, ind_mode="eager")
+        schema = summarize_schema(cols, ind)
+        got = _our_xes(events, schema, root, str(tmp_path / "o.xes"), False)
+        events.unpersist()
+        _assert_xes_equal(got, ref_xes, f"pattern={pat or 'default'}")
+
+
 @pytest.mark.parametrize("seed", SEEDS)
 def test_fuzz_matches_reference(spark, tmp_path, ref_cp, seed):
     log = str(tmp_path / "fuzz.log")

@@ -197,24 +197,56 @@ def fuzz_statements(seed: int) -> tuple[list[Stmt], list[str]]:
     return stmts, [f'"SYSTEM"."{t}"' for t in tables]
 
 
-def render_log(stmts: list[Stmt], seed: int,
-               start: datetime = datetime(2020, 7, 21, 16, 29, 41)) -> str:
-    """Reference file layout: 2-line chunks + whitespace-only separator
-    lines, trailing-space noise, 0-2 s timestamp steps."""
+def fuzz_records(
+    seed: int, start: datetime = datetime(2020, 7, 21, 16, 29, 41)
+) -> tuple[list[tuple[Stmt, datetime]], list[str]]:
+    """(statement, timestamp) pairs with 0-2 s steps (equal-ts ties
+    common), plus the table ids. Shared by the file-mode renderer and
+    the documents-mode frame so both inputs carry identical events."""
+    stmts, tables = fuzz_statements(seed)
     rng = random.Random(seed * 31 + 7)
     ts = start
-    out: list[str] = []
-    for i, s in enumerate(stmts):
+    records = []
+    for s in stmts:
         ts = ts + timedelta(seconds=rng.choice([0, 0, 1, 1, 2]))
+        records.append((s, ts))
+    return records, tables
+
+
+def render_log(records: list[tuple[Stmt, datetime]]) -> str:
+    """Reference file layout: 2-line chunks + whitespace-only separator
+    lines, trailing-space noise."""
+    out: list[str] = []
+    for i, (s, ts) in enumerate(records):
         out.append(s.statement + " " * (i % 3))
         out.append(f"{s.row_id} {' ' * (i % 2)}{_fmt_ts(ts)}".ljust(80))
         out.append(" " * (i % 2))
     return "\n".join(out) + "\n"
 
 
+def records_to_documents(records: list[tuple[Stmt, datetime]]):
+    """Documents-table shape (the production input): one 2-line record
+    per text cell, warc_ts = the record's own timestamp, url zero-padded
+    so (warc_ts, url) ordering == statement order (the BASELINE.json
+    input_hint contract)."""
+    import pandas as pd
+
+    rows = []
+    for seq, (s, ts) in enumerate(records):
+        text = f"{s.statement}\n{s.row_id} {_fmt_ts(ts)}".ljust(80)
+        rows.append({
+            "url": f"https://fuzz.example/{seq:08d}",
+            "warc_ts": ts,
+            "html": b"",
+            "text": text,
+            "lang": "en",
+        })
+    return pd.DataFrame(rows)
+
+
 def write_fuzz_log(seed: int, path: str) -> list[str]:
     """Generate, render and write the seed's log; return its table ids."""
-    stmts, tables = fuzz_statements(seed)
+    records, tables = fuzz_records(seed)
     with open(path, "w", encoding="utf-8") as f:
-        f.write(render_log(stmts, seed))
+        f.write(render_log(records))
     return tables

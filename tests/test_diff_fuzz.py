@@ -120,6 +120,35 @@ def test_xes_pretty_width_regimes_match_reference(spark, tmp_path, ref_cp):
     _assert_xes_equal(got, ref_xes, "width regimes")
 
 
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_documents_mode_matches_reference(spark, tmp_path, ref_cp, seed):
+    """The PRODUCTION input path (documents table, statements in text
+    cells, order contract = (warc_ts, url)) must produce the same
+    schema dump and .xes bytes as the reference reading the equivalent
+    raw log file — same fuzzed statements, both modes."""
+    from fuzzgen import fuzz_records, records_to_documents, render_log
+
+    records, tables = fuzz_records(seed)
+    root = tables[seed % len(tables)]
+    log = str(tmp_path / "fuzz.log")
+    open(log, "w", encoding="utf-8").write(render_log(records))
+    ref_plain, ref_xes = run_reference(log, root, str(tmp_path / "r.xes"))
+
+    docs = spark.createDataFrame(records_to_documents(records))
+    events = uniquify_row_ids(parse_documents(docs)).cache()
+    try:
+        assert events.filter("parse_error is not null").count() == 0
+        cols, ind = discover_schema(events, ind_mode="eager")
+        schema = summarize_schema(cols, ind)
+        _assert_schema_dumps_equal(
+            schema.format_console(), ref_plain, f"docs-mode seed={seed}")
+        _assert_xes_equal(
+            _our_xes(events, schema, root, str(tmp_path / "o.xes"), False),
+            ref_xes, f"docs-mode seed={seed} xes")
+    finally:
+        events.unpersist()
+
+
 def test_timestamp_pattern_matches_reference(spark, tmp_path, ref_cp):
     """--timestampPattern parity with the binary: an alternate pattern
     (yyyy-MM-dd HH:mm:ss) plus mixed-case month names under the default

@@ -191,6 +191,14 @@ def parse_record_batch(text: pd.Series, strptime_fmt: str) -> pd.DataFrame:
     err = err.mask(ts.isna(), "bad_timestamp")
     err = err.mask(idline.isna(), "missing_id_line")
     out["parse_error"] = err
+    # Reject rows carry provenance only (url/op/table_id/row_id/ts/
+    # statement/parse_error); payload columns are nulled so both parser
+    # variants emit identical frames on every row (test_parse_hostile).
+    bad = err.notna()
+    if bad.any():
+        for c in ("insert_cols", "insert_vals", "upd_attr", "upd_new",
+                  "upd_old", "delete_cols", "delete_vals"):
+            out.loc[bad, c] = None
     return out
 
 

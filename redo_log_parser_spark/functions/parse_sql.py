@@ -91,12 +91,15 @@ def parse_documents_sql(
     cols = [c for c in keep_cols if c in df.columns]
     t = F.col(text_col)
 
-    stmt = F.trim(F.regexp_extract(t, _RE_CHUNK, 1))
-    row_id = F.regexp_extract(t, _RE_CHUNK, 2)
+    has_idline = F.regexp_like(t, F.lit(r"\A(?:[^\S\n]*\n)*[^\n]*\n"))
+    # Gate chunk fields on an actual chunk match: regexp_extract returns
+    # '' (not null) on a non-matching text, while the pandas kernel
+    # leaves all chunk fields null — normalize to the kernel's contract.
+    stmt = F.when(has_idline, F.trim(F.regexp_extract(t, _RE_CHUNK, 1)))
+    row_id = F.when(has_idline, F.regexp_extract(t, _RE_CHUNK, 2))
     ts_raw = F.regexp_replace(
         F.trim(F.regexp_extract(t, _RE_CHUNK, 3)), " +", " "
     )
-    has_idline = F.regexp_like(t, F.lit(r"\A(?:[^\S\n]*\n)*[^\n]*\n"))
 
     fmt = cfg.ts_format_java
     ts_src = _normalize_month_case(ts_raw) if "MMM" in fmt else ts_raw
@@ -173,20 +176,7 @@ def parse_documents_sql(
         )
     )
 
-    out = parsed.select(
-        *cols,
-        "op",
-        "table_id",
-        "row_id",
-        "ts",
-        "statement",
-        F.when(is_ins & ins_ok, _strip_tokens(F.col("__ic"))).alias("insert_cols"),
-        F.when(is_ins & ins_ok, _strip_tokens(F.col("__iv"))).alias("insert_vals"),
-        F.when(is_upd & upd_ok, F.col("__ua1").substr(F.lit(2), F.length("__ua1") - 2)).alias("upd_attr"),
-        F.when(is_upd & upd_ok, F.col("__un").substr(F.lit(2), F.length("__un") - 2)).alias("upd_new"),
-        F.when(is_upd & upd_ok, F.col("__uo").substr(F.lit(2), F.length("__uo") - 2)).alias("upd_old"),
-        F.when(is_del & del_ok, dk).alias("delete_cols"),
-        F.when(is_del & del_ok, dv).alias("delete_vals"),
+    err = (
         F.when(F.col("op").isNull(), F.lit("unknown_statement_type"))
         .when(F.col("table_id").isNull(), F.lit("no_table_id"))
         .when(is_ins & ~ins_ok, F.lit("bad_insert"))
@@ -194,6 +184,23 @@ def parse_documents_sql(
         .when(is_del & ~del_ok, F.lit("bad_delete"))
         .when(~F.col("__has_idline"), F.lit("missing_id_line"))
         .when(F.col("ts").isNull(), F.lit("bad_timestamp"))
-        .alias("parse_error"),
+    )
+    # Payloads gated on err.isNull() too: reject rows carry provenance
+    # only, matching the pandas kernel exactly (test_parse_hostile).
+    out = parsed.select(
+        *cols,
+        "op",
+        "table_id",
+        "row_id",
+        "ts",
+        "statement",
+        F.when(err.isNull() & is_ins, _strip_tokens(F.col("__ic"))).alias("insert_cols"),
+        F.when(err.isNull() & is_ins, _strip_tokens(F.col("__iv"))).alias("insert_vals"),
+        F.when(err.isNull() & is_upd, F.col("__ua1").substr(F.lit(2), F.length("__ua1") - 2)).alias("upd_attr"),
+        F.when(err.isNull() & is_upd, F.col("__un").substr(F.lit(2), F.length("__un") - 2)).alias("upd_new"),
+        F.when(err.isNull() & is_upd, F.col("__uo").substr(F.lit(2), F.length("__uo") - 2)).alias("upd_old"),
+        F.when(err.isNull() & is_del, dk).alias("delete_cols"),
+        F.when(err.isNull() & is_del, dv).alias("delete_vals"),
+        err.alias("parse_error"),
     )
     return out

@@ -1,5 +1,8 @@
 """Watermarked streaming per-op window counts (streaming/stream.py)."""
 
+import os
+import time
+
 from pyspark.sql import functions as F
 
 from redo_log_parser_spark.streaming.stream import (
@@ -26,6 +29,64 @@ def test_windowed_op_counts(spark, mini_docs, tmp_path):
     assert total == {"insert": 161, "update": 220, "delete": 52}
     # the mini-log spans ~62 seconds -> at least two 1-minute windows
     assert len({str(r["w"]) for r in rows}) >= 2
+
+
+def test_streaming_incarnations_state_crosses_micro_batches(spark, tmp_path):
+    """applyInPandasWithState must carry per-ROWID incarnation state
+    ACROSS micro-batch boundaries: a fuzz log containing ROWID-reuse
+    restarts is streamed as four chronological file slices with
+    maxFilesPerTrigger=1 (so restarts and their predecessors land in
+    different batches), and the rewritten ids must equal the batch
+    window over the whole log. The single-batch variant lives in
+    test_xes_sink.py; this one fails if state.update/get is broken."""
+    import pandas as pd
+    from fuzzgen import fuzz_records, records_to_documents
+    from redo_log_parser_spark.functions.parse import parse_documents
+    from redo_log_parser_spark.operators.rowid import uniquify_row_ids
+    from redo_log_parser_spark.streaming.stateful import streaming_incarnations
+
+    records, _ = fuzz_records(seed=7)
+    pdf = records_to_documents(records)
+    batch = uniquify_row_ids(parse_documents(spark.createDataFrame(pdf)))
+    want = {r["url"]: r["row_id"]
+            for r in batch.select("url", "row_id").collect()}
+    assert any("#" in v for v in want.values()), \
+        "seed must exercise incarnation restarts"
+
+    # four chronological slices, one parquet file each, ascending mtime
+    # so the file source's modification-time ordering replays the log
+    src = str(tmp_path / "slices")
+    os.makedirs(src)
+    n = len(pdf)
+    now = time.time()
+    for i in range(4):
+        part = pdf.iloc[i * n // 4:(i + 1) * n // 4]
+        f = os.path.join(src, f"slice_{i}.parquet")
+        part.to_parquet(f, coerce_timestamps="us",
+                        allow_truncated_timestamps=True)
+        os.utime(f, (now - 400 + i * 100, now - 400 + i * 100))
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_incarnations(
+        parse_stream(docs).filter(F.col("parse_error").isNull()))
+    sink = str(tmp_path / "isink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ickpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert len(q.recentProgress) >= 4, "expected one micro-batch per slice"
+    got = {r["url"]: r["row_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == want
 
 
 def test_streaming_exact_dedup(spark, mini_docs, tmp_path):

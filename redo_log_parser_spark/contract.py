@@ -759,6 +759,58 @@ SQL_QUALITY_SCORE = f"""
 """
 
 
+def q_text_quality(spark, sf_dir):
+    """Punct/stopword ratios + composite quality score joined per doc in
+    ONE contract query (consolidated in round 3 to free a slot for
+    decontaminate under the driver's 50-entry record cap — see
+    q_grouped_agg note; both operators still run unchanged)."""
+    return q_punct_stopword(spark, sf_dir).join(
+        q_quality_score(spark, sf_dir), "doc_id"
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+    select p.doc_id, p.punct_r, p.stop_r, q.q
+    from ({SQL_PUNCT_STOPWORD}) p join ({SQL_QUALITY_SCORE}) q
+      on p.doc_id = q.doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination over the documents table
+    (operators/corpus.decontaminate): the 'benchmark' is the
+    deterministic doc_id % 29 == 0 slice (no external eval set exists in
+    this sandbox), the corpus is the rest; returns the contaminated doc
+    ids. n=4 is the smallest n that is non-vacuous AND non-saturated on
+    the synthetic word-salad texts (probed: 33/483 corpus docs hit at
+    sf0.01, 26 at sf0.001, 1984/4828 at sf0.1); the production default
+    is n=13. Spark joins on xxhash64 gram keys, the oracle on gram
+    strings — identical sets absent a ~2^-64 collision, and
+    deterministic either way."""
+    from .operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    _, contaminated = decontaminate(corpus, bench, n=4)
+    return contaminated
+
+
+SQL_DECONTAMINATE = """
+    with tok as (select doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') as t
+                 from documents),
+    g as (select doc_id, array_to_string(t[i.i : i.i + 3], ' ') as gram
+          from tok cross join lateral
+               (select unnest(range(1, len(t) - 3 + 1)) as i) i),
+    bench as (select distinct gram from g where doc_id % 29 = 0)
+    select distinct doc_id
+    from g join bench using (gram)
+    where doc_id % 29 <> 0
+"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
@@ -1567,10 +1619,11 @@ SQL_MULTIMODAL_META = """
 # Exactly 50 entries: the round-2 driver recorded only the first 50
 # QUERIES positions in CORRECTNESS_r02.json (ivf_search/approx_distinct/
 # ivf_ann — positions 51-53 — got no row at all), so round 3 consolidated
-# cube+rollup+grouping_sets → grouped_agg and pii_redact+repetition_stats
-# → text_signals. Every operator still runs; the two rows-only entries
-# (HLL sketch, iterative k-means) sit LAST so all 48 value oracles land
-# inside the cap. Keep it ≤50 when adding queries.
+# cube+rollup+grouping_sets → grouped_agg, pii_redact+repetition_stats
+# → text_signals, and punct_stopword+quality_score → text_quality (the
+# last freeing a slot for decontaminate). Every operator still runs; the
+# two rows-only entries (HLL sketch, iterative k-means) sit LAST so all
+# 48 value oracles land inside the cap. Keep it ≤50 when adding queries.
 QUERIES = {
     "route_counts": (q_route_counts, SQL_ROUTE_COUNTS),
     "parse_insert": (q_parse_insert, SQL_PARSE_INSERT),
@@ -1594,9 +1647,9 @@ QUERIES = {
     "schema_discovery": (q_schema_discovery, SQL_SCHEMA_DISCOVERY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
-    "punct_stopword": (q_punct_stopword, SQL_PUNCT_STOPWORD),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -209,3 +209,38 @@ def test_components_long_chain_converges_via_pointer_jump(spark):
     got = {r["doc_id"]: r["component_id"]
            for r in D.dedup_components(docs, pairs).collect()}
     assert len(got) == 200 and set(got.values()) == {0}
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A doc sharing one 13-gram with the benchmark is dropped; docs
+    with only shorter overlaps (12 shared tokens) or no overlap
+    survive; docs shorter than n can never be contaminated."""
+    from redo_log_parser_spark.operators.corpus import decontaminate
+
+    gram13 = " ".join(f"w{i}" for i in range(13))
+    docs = _docs(spark, [
+        (0, f"prefix {gram13} suffix"),            # exact 13-gram: drop
+        (1, " ".join(f"w{i}" for i in range(12)) + " other tail pad x y"),
+        (2, "totally unrelated text " * 10),
+        (3, gram13),                               # the gram alone: drop
+        (4, "w0 w1"),                              # shorter than n
+    ])
+    bench = _docs(spark, [(100, f"bench head {gram13} bench tail")])
+    clean, contaminated = decontaminate(docs, bench, n=13)
+    assert sorted(r["doc_id"] for r in contaminated.collect()) == [0, 3]
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2, 4]
+
+
+def test_decontaminate_broadcast_no_corpus_shuffle(spark):
+    """The benchmark gram set must reach the corpus side as a broadcast:
+    the contaminated-id plan contains a BroadcastHashJoin and no
+    SortMergeJoin (corpus gram frame is never exchanged for the join)."""
+    from redo_log_parser_spark.operators.corpus import decontaminate
+
+    docs = _docs(spark, [(i, f"d{i} " + " ".join(f"w{j}" for j in range(20)))
+                         for i in range(30)])
+    bench = _docs(spark, [(0, " ".join(f"w{j}" for j in range(20)))])
+    _, contaminated = decontaminate(docs, bench, n=13)
+    plan = contaminated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -50,6 +50,7 @@ def headline_queries():
 
     from redo_log_parser_spark.contract import (
         q_ann_cosine,
+        q_decontaminate,
         q_dedup_components,
         q_dedup_exact,
         q_minhash_pairs,
@@ -109,6 +110,7 @@ def headline_queries():
         "dedup_components": q_dedup_components,
         "token_pack": q_token_pack,
         "ann_cosine": q_ann_cosine,
+        "decontaminate": q_decontaminate,
     }
 
 

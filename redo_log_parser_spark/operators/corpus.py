@@ -188,18 +188,21 @@ def repetition_stats(
     )
 
 
-def ngram_keys(text: Column, n: int = 13) -> Column:
-    """xxhash64 keys of the word n-grams of `text` (whitespace tokens,
-    functions/text.tokens; docs shorter than n tokens yield an empty
-    array). The sliding window is a transform over an index sequence —
-    pure JVM expressions, no explode until the caller asks for one.
-    Joining on 64-bit hashes instead of gram strings cuts shuffle /
-    broadcast bytes ~10x at corpus scale; the collision false-positive
-    rate (~|corpus grams|·|bench grams| / 2^64) is negligible and, being
-    deterministic, stable across re-runs."""
-    from ..functions.text import tokens
+def ngram_keys(toks: Column, n: int = 13) -> Column:
+    """xxhash64 keys of the word n-grams of a TOKEN-ARRAY column (docs
+    shorter than n tokens yield an empty array). The sliding window is
+    a transform over an index sequence — pure JVM expressions, no
+    explode until the caller asks for one. Joining on 64-bit hashes
+    instead of gram strings cuts shuffle/broadcast bytes ~10x at corpus
+    scale; the collision false-positive rate
+    (~|corpus grams|·|bench grams| / 2^64) is negligible and, being
+    deterministic, stable across re-runs.
 
-    toks = tokens(text)
+    Takes tokens, NOT text, on purpose: higher-order array functions
+    are interpreted (not codegen'd), and an inline tokenize subtree
+    gets re-evaluated per gram position — measured 9x slower at sf0.1.
+    Materialize functions/text.tokens(text) as a named column first
+    (decontaminate does)."""
     m = F.size(toks) - (n - 1)
     return F.when(
         m >= 1,
@@ -229,13 +232,23 @@ def decontaminate(
     data; the only shuffled frame is the contaminated-id set (bounded
     by the corpus docs that hit, typically tiny), which then broadcast
     anti-joins back. Nothing materializes corpus gram strings."""
-    grams = ngram_keys(F.col(bench_text_col or text_col), n)
-    bench = benchmark.select(F.explode(grams).alias("g")).distinct()
+    from ..functions.text import tokens
+
+    bench = benchmark.select(
+        tokens(F.col(bench_text_col or text_col)).alias("__tk")
+    ).select(F.explode(ngram_keys(F.col("__tk"), n)).alias("g"))
     corpus = docs.select(
-        F.col(id_col), F.explode(ngram_keys(F.col(text_col), n)).alias("g")
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    ).select(
+        F.col(id_col), F.explode(ngram_keys(F.col("__tk"), n)).alias("g")
     )
+    # left_semi, not inner: right-side duplicate grams can't multiply
+    # output rows, so the bench side needs NO distinct (the broadcast
+    # hash table dedups keys for free) — one whole exchange+agg less
+    # than the inner-join-on-distinct-grams form.
     contaminated = (
-        corpus.join(F.broadcast(bench), "g").select(id_col).distinct()
+        corpus.join(F.broadcast(bench), "g", "left_semi")
+        .select(id_col).distinct()
     )
     clean = docs.join(F.broadcast(contaminated), id_col, "left_anti")
     return clean, contaminated

@@ -115,12 +115,16 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
     )
 
 
-def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+def dup_ngram_fraction(toks: Column, n: int = 2) -> Column:
     """Gopher-style repetition signal: fraction of word n-grams that are
     repeats of an earlier n-gram in the SAME document —
     1 - distinct/total. 0.0 for docs with no n-grams. Pure array
-    expressions, no explode."""
-    toks = tokens(F.lower(text))
+    expressions, no explode.
+
+    Takes a TOKEN-ARRAY column (lowercased), not text: the slice lambda
+    is interpreted, so an inline tokenize would re-split the text per
+    gram position — materialize tokens(lower(text)) as a named column
+    first (operators/corpus.repetition_stats does)."""
     # guard: sequence(0, -1) DESCENDS in Spark, so short/empty docs must
     # short-circuit to an empty gram list instead
     grams = F.when(

@@ -167,9 +167,11 @@ def repetition_stats(
 
     t = F.col(text_col)
     base = docs.select(
+        F.col(id_col), tokens(F.lower(t)).alias("__tk")
+    ).select(
         F.col(id_col),
-        F.round(dup_ngram_fraction(t, 2), 6).alias("dup_2gram_frac"),
-        F.round(dup_ngram_fraction(t, 3), 6).alias("dup_3gram_frac"),
+        F.round(dup_ngram_fraction(F.col("__tk"), 2), 6).alias("dup_2gram_frac"),
+        F.round(dup_ngram_fraction(F.col("__tk"), 3), 6).alias("dup_3gram_frac"),
     )
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.lower(t))).alias("tok")

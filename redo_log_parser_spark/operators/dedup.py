@@ -56,7 +56,14 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
     Built with array expressions (no UDF): slide a window of n over the
     token array."""
-    toks = tokens(F.lower(F.col(text_col)))
+    # tokens materialized as a NAMED column first: higher-order lambdas
+    # are interpreted, and an inline tokenize referenced inside the
+    # slice lambda would re-split the text at every window position
+    # (same 9x trap measured in corpus.ngram_keys)
+    base = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk")
+    )
+    toks = F.col("__tk")
     # guard: sequence(0, -1) DESCENDS in Spark — a doc with fewer than n
     # tokens must yield an empty shingle list, not invalid slice starts
     sh = F.when(
@@ -67,7 +74,7 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        base.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
 

@@ -124,17 +124,41 @@ def parse_documents_sql(
     is_del = F.col("op") == "delete"
     s = F.col("statement")
 
-    ins_cols_raw = _null_if_empty(F.regexp_extract(s, _RE_INSERT, 1))
-    ins_vals_raw = _null_if_empty(F.regexp_extract(s, _RE_INSERT, 2))
-    parsed = base.select(
+    # Staged selects, one named column per non-trivial subexpression:
+    # this Project chain is INTERPRETED (higher-order functions block
+    # whole-stage codegen), so there is no common-subexpression
+    # elimination — an expression referenced k times runs k times per
+    # row. Naming forces single evaluation; CollapseProject keeps the
+    # stages apart because every alias is referenced more than once.
+
+    # stage 1: every regexp extraction exactly once per row
+    extracted = base.select(
         "*",
-        F.when(is_ins, _java_split(ins_cols_raw, ",")).alias("__ic"),
-        F.when(is_ins, _java_split(ins_vals_raw, ",")).alias("__iv"),
+        F.when(is_ins, _null_if_empty(F.regexp_extract(s, _RE_INSERT, 1))).alias("__icr"),
+        F.when(is_ins, _null_if_empty(F.regexp_extract(s, _RE_INSERT, 2))).alias("__ivr"),
         F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 1))).alias("__ua1"),
         F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 2))).alias("__un"),
         F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 3))).alias("__ua2"),
         F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 4))).alias("__uo"),
         F.when(is_del, _null_if_empty(F.regexp_extract(s, _RE_DELETE, 1))).alias("__dw"),
+    )
+
+    # stage 2: Java-split the named raw strings; per-pair delete regexps
+    parsed = extracted.select(
+        "*",
+        _java_split(F.col("__icr"), ",").alias("__ic"),
+        _java_split(F.col("__ivr"), ",").alias("__iv"),
+        F.when(
+            F.col("__dw").isNotNull(), _java_split(F.col("__dw"), " and ")
+        ).alias("__dp"),
+    ).select(
+        "*",
+        F.transform(
+            F.col("__dp"), lambda p: F.regexp_extract(p, _RE_ATTR_VALUE, 1)
+        ).alias("__dkr"),
+        F.transform(
+            F.col("__dp"), lambda p: F.regexp_extract(p, _RE_ATTR_VALUE, 2)
+        ).alias("__dvr"),
     )
 
     tok_ok = lambda arr: F.forall(arr, lambda x: F.length(x) >= 2)  # noqa: E731
@@ -152,31 +176,22 @@ def parse_documents_sql(
         & (F.length("__un") >= 2)
         & (F.length("__uo") >= 2)
     )
-    # delete predicates: split ' and ', per-pair greedy '(.+) = (.+)'
-    dpairs = F.when(
-        F.col("__dw").isNotNull(), _java_split(F.col("__dw"), " and ")
-    )
-    dk_raw = F.transform(dpairs, lambda p: F.regexp_extract(p, _RE_ATTR_VALUE, 1))
-    dv_raw = F.transform(dpairs, lambda p: F.regexp_extract(p, _RE_ATTR_VALUE, 2))
-    dk = F.transform(
-        dk_raw,
-        lambda a: F.when(
-            a.startswith('"') | a.startswith("'"),
-            a.substr(F.lit(2), F.length(a) - 2),
-        ).otherwise(a),
-    )
-    dv = _strip_tokens(dv_raw)
-    del_ok = (
-        dpairs.isNotNull()
-        & F.forall(dk_raw, lambda x: F.length(x) > 0)
-        & F.forall(dv_raw, lambda x: F.length(x) >= 2)
-        & F.forall(
-            dk_raw,
-            lambda a: ~(a.startswith('"') | a.startswith("'")) | (F.length(a) >= 2),
-        )
+    # one fused per-pair validity pass (was three separate foralls)
+    del_ok = F.col("__dp").isNotNull() & F.forall(
+        F.zip_with(
+            F.col("__dkr"),
+            F.col("__dvr"),
+            lambda a, v: (F.length(a) > 0)
+            & (F.length(v) >= 2)
+            & (~(a.startswith('"') | a.startswith("'")) | (F.length(a) >= 2)),
+        ),
+        lambda ok: ok,
     )
 
-    err = (
+    # stage 3: the error label ONCE per row (it is referenced by all 8
+    # output columns; inline it would re-run the validity checks 8x)
+    flagged = parsed.select(
+        "*",
         F.when(F.col("op").isNull(), F.lit("unknown_statement_type"))
         .when(F.col("table_id").isNull(), F.lit("no_table_id"))
         .when(is_ins & ~ins_ok, F.lit("bad_insert"))
@@ -184,23 +199,34 @@ def parse_documents_sql(
         .when(is_del & ~del_ok, F.lit("bad_delete"))
         .when(~F.col("__has_idline"), F.lit("missing_id_line"))
         .when(F.col("ts").isNull(), F.lit("bad_timestamp"))
+        .alias("parse_error"),
     )
-    # Payloads gated on err.isNull() too: reject rows carry provenance
+
+    dk = F.transform(
+        F.col("__dkr"),
+        lambda a: F.when(
+            a.startswith('"') | a.startswith("'"),
+            a.substr(F.lit(2), F.length(a) - 2),
+        ).otherwise(a),
+    )
+    dv = _strip_tokens(F.col("__dvr"))
+    ok = F.col("parse_error").isNull()
+    # Payloads gated on the error too: reject rows carry provenance
     # only, matching the pandas kernel exactly (test_parse_hostile).
-    out = parsed.select(
+    out = flagged.select(
         *cols,
         "op",
         "table_id",
         "row_id",
         "ts",
         "statement",
-        F.when(err.isNull() & is_ins, _strip_tokens(F.col("__ic"))).alias("insert_cols"),
-        F.when(err.isNull() & is_ins, _strip_tokens(F.col("__iv"))).alias("insert_vals"),
-        F.when(err.isNull() & is_upd, F.col("__ua1").substr(F.lit(2), F.length("__ua1") - 2)).alias("upd_attr"),
-        F.when(err.isNull() & is_upd, F.col("__un").substr(F.lit(2), F.length("__un") - 2)).alias("upd_new"),
-        F.when(err.isNull() & is_upd, F.col("__uo").substr(F.lit(2), F.length("__uo") - 2)).alias("upd_old"),
-        F.when(err.isNull() & is_del, dk).alias("delete_cols"),
-        F.when(err.isNull() & is_del, dv).alias("delete_vals"),
-        err.alias("parse_error"),
+        F.when(ok & is_ins, _strip_tokens(F.col("__ic"))).alias("insert_cols"),
+        F.when(ok & is_ins, _strip_tokens(F.col("__iv"))).alias("insert_vals"),
+        F.when(ok & is_upd, F.col("__ua1").substr(F.lit(2), F.length("__ua1") - 2)).alias("upd_attr"),
+        F.when(ok & is_upd, F.col("__un").substr(F.lit(2), F.length("__un") - 2)).alias("upd_new"),
+        F.when(ok & is_upd, F.col("__uo").substr(F.lit(2), F.length("__uo") - 2)).alias("upd_old"),
+        F.when(ok & is_del, dk).alias("delete_cols"),
+        F.when(ok & is_del, dv).alias("delete_vals"),
+        "parse_error",
     )
     return out

@@ -45,6 +45,32 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _query_topk(cand: DataFrame, query: list[float], k: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, score) top-k by cosine vs a LITERAL query vector. The
+    query norm is a Python constant — computing it per row was a whole
+    O(dim) aggregate — and the cast vector is a named column so the
+    interpreted Project evaluates the cast once, not per reference
+    (PLANS.md §10). Fold order matches the old column form exactly
+    (left-to-right sum of squares), so scores are bit-identical.
+    orderBy+limit compiles to TakeOrderedAndProject: each partition
+    keeps a k-heap, the driver merges k×P rows."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    qn = 0.0
+    for v in query:
+        qn += float(v) * float(v)
+    v_ = F.col("__v")
+    scored = cand.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).select(
+        F.col(id_col),
+        F.round(
+            _dot(v_, q) / (_norm(v_) * F.lit(float(qn) ** 0.5)), 6
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
 def cosine_topk(
     emb: DataFrame,
     query: list[float],
@@ -52,15 +78,9 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, score) — top-k by cosine vs a literal query vector.
-    orderBy+limit compiles to TakeOrderedAndProject: each partition keeps
-    a k-heap, the driver merges k×P rows."""
-    q = F.array(*[F.lit(float(v)) for v in query])
-    scored = emb.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"),
-    )
-    return scored.orderBy(F.desc("score"), id_col).limit(k)
+    """(vec_id, score) — top-k by cosine vs a literal query vector
+    (see _query_topk for the plan shape)."""
+    return _query_topk(emb, query, k, id_col, vec_col)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -134,12 +154,7 @@ def lsh_bucketed_ann(
         probe += [qsig ^ (1 << p) for p in range(n_planes)]
     bucketed = with_lsh_bucket(emb, len(query), n_planes, seed, vec_col)
     cand = bucketed.filter(F.col("lsh_bucket").isin(probe))
-    q = F.array(*[F.lit(float(v)) for v in query])
-    scored = cand.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("score"),
-    )
-    return scored.orderBy(F.desc("score"), id_col).limit(k)
+    return _query_topk(cand, query, k, id_col, vec_col)
 
 
 def _sq_dist(a: Column, c: Column) -> Column:
@@ -233,12 +248,7 @@ def ivf_ann(
     cand = with_ivf_bucket(emb, centroids, vec_col).filter(
         F.col("ivf_bucket").isin(probe)
     )
-    qcol = F.array(*[F.lit(float(x)) for x in query])
-    scored = cand.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 6).alias("score"),
-    )
-    return scored.orderBy(F.desc("score"), id_col).limit(k)
+    return _query_topk(cand, query, k, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(
@@ -254,8 +264,11 @@ def embedding_near_dup_pairs(
     probability; recall tunable via n_planes)."""
     # infer dim from one row (tiny driver action)
     dim = len(emb.select(vec_col).first()[0])
+    # cast ONCE into the named column the pair join carries — cosine
+    # references each side twice (dot + norm), and inline casts would
+    # re-convert the array per reference (PLANS.md §10)
     bucketed = with_lsh_bucket(emb, dim, n_planes, seed, vec_col).select(
-        id_col, vec_col, "lsh_bucket"
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col), "lsh_bucket"
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -266,11 +279,7 @@ def embedding_near_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
-                cosine(
-                    F.col(f"a.{vec_col}").cast("array<double>"),
-                    F.col(f"b.{vec_col}").cast("array<double>"),
-                ),
-                6,
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -143,23 +143,26 @@ def parse_documents_sql(
         F.when(is_del, _null_if_empty(F.regexp_extract(s, _RE_DELETE, 1))).alias("__dw"),
     )
 
-    # stage 2: Java-split the named raw strings; per-pair delete regexps
+    # stage 2 (ONE layer — each interpreted Project copies the row, so
+    # layers are minimized): Java-split the named raw strings; the
+    # delete where-clause becomes one (k, v) struct array in a single
+    # transform, so each per-pair regexp runs exactly once. The consumed
+    # raw strings are dropped to shrink the copied row.
     parsed = extracted.select(
         "*",
         _java_split(F.col("__icr"), ",").alias("__ic"),
         _java_split(F.col("__ivr"), ",").alias("__iv"),
         F.when(
-            F.col("__dw").isNotNull(), _java_split(F.col("__dw"), " and ")
-        ).alias("__dp"),
-    ).select(
-        "*",
-        F.transform(
-            F.col("__dp"), lambda p: F.regexp_extract(p, _RE_ATTR_VALUE, 1)
-        ).alias("__dkr"),
-        F.transform(
-            F.col("__dp"), lambda p: F.regexp_extract(p, _RE_ATTR_VALUE, 2)
-        ).alias("__dvr"),
-    )
+            F.col("__dw").isNotNull(),
+            F.transform(
+                _java_split(F.col("__dw"), " and "),
+                lambda p: F.struct(
+                    F.regexp_extract(p, _RE_ATTR_VALUE, 1).alias("k"),
+                    F.regexp_extract(p, _RE_ATTR_VALUE, 2).alias("v"),
+                ),
+            ),
+        ).alias("__dkv"),
+    ).drop("__icr", "__ivr", "__dw")
 
     tok_ok = lambda arr: F.forall(arr, lambda x: F.length(x) >= 2)  # noqa: E731
     ins_ok = (
@@ -177,15 +180,14 @@ def parse_documents_sql(
         & (F.length("__uo") >= 2)
     )
     # one fused per-pair validity pass (was three separate foralls)
-    del_ok = F.col("__dp").isNotNull() & F.forall(
-        F.zip_with(
-            F.col("__dkr"),
-            F.col("__dvr"),
-            lambda a, v: (F.length(a) > 0)
-            & (F.length(v) >= 2)
-            & (~(a.startswith('"') | a.startswith("'")) | (F.length(a) >= 2)),
+    del_ok = F.col("__dkv").isNotNull() & F.forall(
+        F.col("__dkv"),
+        lambda kv: (F.length(kv["k"]) > 0)
+        & (F.length(kv["v"]) >= 2)
+        & (
+            ~(kv["k"].startswith('"') | kv["k"].startswith("'"))
+            | (F.length(kv["k"]) >= 2)
         ),
-        lambda ok: ok,
     )
 
     # stage 3: the error label ONCE per row (it is referenced by all 8
@@ -203,13 +205,16 @@ def parse_documents_sql(
     )
 
     dk = F.transform(
-        F.col("__dkr"),
-        lambda a: F.when(
-            a.startswith('"') | a.startswith("'"),
-            a.substr(F.lit(2), F.length(a) - 2),
-        ).otherwise(a),
+        F.col("__dkv"),
+        lambda kv: F.when(
+            kv["k"].startswith('"') | kv["k"].startswith("'"),
+            kv["k"].substr(F.lit(2), F.length(kv["k"]) - 2),
+        ).otherwise(kv["k"]),
     )
-    dv = _strip_tokens(F.col("__dvr"))
+    dv = F.transform(
+        F.col("__dkv"),
+        lambda kv: kv["v"].substr(F.lit(2), F.length(kv["v"]) - 2),
+    )
     ok = F.col("parse_error").isNull()
     # Payloads gated on the error too: reject rows carry provenance
     # only, matching the pandas kernel exactly (test_parse_hostile).

@@ -436,12 +436,19 @@ def dedup_components(
     labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()
     for it in range(max_iters):
         nb = edges.join(labels, edges["src"] == labels["v"]).select(
-            F.col("dst").alias("v"), "label"
+            F.col("dst").alias("v"),
+            "label",
+            F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
         )
+        # the previous label rides through as `old`, so the convergence
+        # check below is a scan of the checkpointed frame — NOT a
+        # new-vs-old join (one less full-label shuffle per round)
         propagated = (
-            labels.unionByName(nb)
+            labels.select("v", "label", F.col("label").alias("old"))
+            .unionByName(nb)
             .groupBy("v")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"),
+                 F.max("old").alias("old"))
         )
         if it >= jump_from:
             # pointer jump: every label IS a vertex id, so label(label(v))
@@ -457,18 +464,14 @@ def dedup_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                 ).alias("label"),
+                "old",
             )
         new_labels = propagated.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("v", "label")
         if changed == 0:
             edges.unpersist()
-            return labels.select(
+            return new_labels.select(
                 F.col("v").alias(id_col), F.col("label").alias("component_id")
             )
     edges.unpersist()

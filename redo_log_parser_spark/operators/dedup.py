@@ -427,13 +427,39 @@ def dedup_components(
     round measured 2× the bench cost for zero round savings on the sf
     corpus). Label frame is localCheckpoint'ed so lineage stays flat.
     Raises if max_iters rounds don't converge rather than returning a
-    partial clustering."""
-    verts = docs.select(F.col(id_col).alias("v")).distinct()
+    partial clustering.
+
+    The iteration runs ONLY over vertices that appear in some pair:
+    singletons (the overwhelming majority of a near-dup corpus — their
+    label never moves off their own id) are attached by one final left
+    join instead of riding every round's shuffle. At web scale this is
+    the difference between propagating labels for billions of untouched
+    docs per round and propagating only the near-dup subgraph."""
     half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    labels = verts.select("v", F.col("v").alias("label")).localCheckpoint()
+    # symmetrized, so `src` alone covers every vertex touched by a pair
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint()
+    )
+
+    def _with_singletons(converged: DataFrame) -> DataFrame:
+        comp = converged.select(
+            F.col("v").alias(id_col), F.col("label").alias("__comp")
+        )
+        return (
+            docs.select(id_col)
+            .distinct()
+            .join(comp, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("__comp"), F.col(id_col)).alias("component_id"),
+            )
+        )
     for it in range(max_iters):
         nb = edges.join(labels, edges["src"] == labels["v"]).select(
             F.col("dst").alias("v"),
@@ -471,9 +497,7 @@ def dedup_components(
         labels = new_labels.select("v", "label")
         if changed == 0:
             edges.unpersist()
-            return new_labels.select(
-                F.col("v").alias(id_col), F.col("label").alias("component_id")
-            )
+            return _with_singletons(new_labels)
     edges.unpersist()
     raise RuntimeError(
         f"dedup_components did not converge in {max_iters} rounds "

@@ -33,6 +33,16 @@ def test_components_singletons_and_star(spark):
     assert all(got[i] == i for i in range(5, 10))
 
 
+def test_components_no_pairs_all_singletons(spark):
+    """Empty pair frame: the touched-vertex iteration has zero vertices
+    and must converge immediately, with every doc its own component."""
+    docs = _docs(spark, [(i, f"t{i}") for i in range(5)])
+    pairs = _docs(spark, [(0, 1)], cols=("id_a", "id_b")).filter("id_a < 0")
+    got = {r["doc_id"]: r["component_id"]
+           for r in D.dedup_components(docs, pairs).collect()}
+    assert got == {i: i for i in range(5)}
+
+
 def test_components_nonconvergence_raises(spark):
     docs = _docs(spark, [(i, f"t{i}") for i in range(8)])
     pairs = _docs(spark, [(i, i + 1) for i in range(7)], cols=("id_a", "id_b"))

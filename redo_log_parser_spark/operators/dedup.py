@@ -492,7 +492,10 @@ def dedup_components(
                 ).alias("label"),
                 "old",
             )
-        new_labels = propagated.localCheckpoint()
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it — one job per round instead of two (eager
+        # checkpoint + count), lineage still truncated after the action
+        new_labels = propagated.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("label") != F.col("old")).count()
         labels = new_labels.select("v", "label")
         if changed == 0:

@@ -95,6 +95,52 @@ from hypothesis import given, settings, strategies as st
 
 
 @st.composite
+def _random_graph(draw):
+    n = draw(st.integers(min_value=1, max_value=18))
+    n_edges = draw(st.integers(min_value=0, max_value=2 * n))
+    edges = [
+        tuple(sorted(draw(st.tuples(
+            st.integers(min_value=0, max_value=n - 1),
+            st.integers(min_value=0, max_value=n - 1)))))
+        for _ in range(n_edges)
+    ]
+    return n, [(a, b) for a, b in edges if a != b]
+
+
+@settings(max_examples=8, deadline=None)
+@given(_random_graph())
+def test_components_match_union_find(spark, graph):
+    """Distributed min-label propagation + pointer jumping ≡ plain
+    union-find on arbitrary random graphs (duplicate edges, any shape —
+    the pointer-jump shortcut must never cross components or miss a
+    merge)."""
+    n, edges = graph
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in range(n)}
+
+    docs = _docs(spark, [(i, f"t{i}") for i in range(n)])
+    pairs = (
+        _docs(spark, edges, cols=("id_a", "id_b"))
+        if edges
+        else _docs(spark, [(0, 1)], cols=("id_a", "id_b")).filter("id_a < 0")
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in D.dedup_components(docs, pairs).collect()}
+    assert got == want
+
+
+@st.composite
 def _doc_corpus(draw):
     n = draw(st.integers(min_value=1, max_value=25))
     return [

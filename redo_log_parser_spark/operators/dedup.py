@@ -172,6 +172,81 @@ def minhash_signatures(
     return mins
 
 
+def with_minhash_sig(
+    docs: DataFrame, num_hashes: int = 64, n: int = 3,
+    text_col: str = "text", out_col: str = "sig",
+) -> DataFrame:
+    """Per-ROW MinHash signature — the aggregation-free twin of
+    minhash_signatures (identical hash family xxhash64(seed k, shingle),
+    identical signature for identical text; parity-pinned in
+    tests/test_text_dedup.py). No groupBy, so it composes with
+    Structured Streaming where an aggregation would be a stateful
+    operator. Docs with fewer than n tokens get an EMPTY signature
+    (minhash_signatures likewise emits no row for them).
+
+    Tokens and shingles are staged as named columns (PLANS.md §10: the
+    interpreted lambda walker has no CSE — an inline tokenize inside the
+    hash lambda would re-split the text per shingle per hash)."""
+    base = docs.withColumn("__tk", tokens(F.lower(F.col(text_col))))
+    toks = F.col("__tk")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = base.withColumn("__sh", sh)
+    sig = F.when(
+        F.size("__sh") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda k: F.array_min(
+                F.transform(F.col("__sh"), lambda s: F.xxhash64(k, s))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.withColumn(out_col, sig).drop("__tk", "__sh")
+
+
+def banded_keys(
+    sigs: DataFrame, bands: int, sig_col: str = "sig",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Explode a signature column into its LSH band keys:
+    (*keep_cols, band, bucket) with bucket = xxhash64 of the
+    comma-joined band slice. Shared by the batch candidate join and the
+    streaming near-dedup so both sides band identically. Empty
+    signatures yield no rows (explode of an empty struct array — NOT
+    `bands` keys over an empty slice, which would make every empty doc
+    collide on xxhash64(''))."""
+    rows_per_band = (F.size(sig_col) / bands).cast("int")
+    band_structs = F.when(
+        F.size(sig_col) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                sig_col, b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<band:int,bucket:bigint>>"))
+    return (
+        sigs.select(*keep_cols, F.explode(band_structs).alias("bb"))
+        .select(*keep_cols, "bb.band", "bb.bucket")
+    )
+
+
 def _cap_buckets(
     banded: DataFrame, max_bucket_size: int, keys: tuple[str, str] = ("band", "bucket")
 ) -> DataFrame:
@@ -203,28 +278,7 @@ def minhash_lsh_candidates(
     become candidate pairs (id_a < id_b, distinct).
 
     `max_bucket_size` (corpus-scale knob, default off): see _cap_buckets."""
-    n_hashes_col = F.size("sig")
-    rows_per_band = (n_hashes_col / bands).cast("int")
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = banded_keys(sigs, bands, sig_col="sig", keep_cols=(id_col,))
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")

@@ -89,3 +89,84 @@ def streaming_exact_dedup(
     return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def streaming_lsh_near_dedup(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    bands: int = 8,
+    watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming MinHash-LSH NEAR-dup dedup: returns the surviving
+    band-key stream (id, ts, band, bucket, n_bands); bind it to a sink
+    with foreachBatch + `lsh_survivors` for the per-doc keep/drop set.
+
+    Semantics — the standard LSH candidate rule applied greedily in
+    arrival order: a doc is a near-dup (dropped) iff ANY of its `bands`
+    band keys was emitted by an earlier doc inside the watermark
+    horizon. There is no exact-Jaccard verify stage (the earlier doc's
+    shingles are gone — keeping them would be unbounded state), so this
+    is deliberately more aggressive than the batch
+    minhash_pairs-with-verify path; tune `bands`/`num_hashes` for the
+    false-positive rate the stream can tolerate. Signature and banding
+    are byte-identical to the batch operators (dedup.with_minhash_sig /
+    dedup.banded_keys — parity-pinned), so a batch backfill and the
+    stream agree on what collides.
+
+    State = one row per seen band key, expired by the watermark —
+    bounded, like streaming_exact_dedup. Docs with fewer than n tokens
+    have no signature to judge; they carry one never-colliding
+    sentinel key (band -1, bucket = xxhash64 of the doc id) so they
+    flow through and are always kept.
+
+    A dropped doc's non-colliding bands do enter state (they survived
+    the key-level dedup), so a later doc colliding only with THOSE is
+    also dropped — near-dup chains collapse transitively onto the first
+    arrival, exactly like the batch connected-components pass.
+
+    CAVEAT (within one micro-batch): dropDuplicatesWithinWatermark keeps
+    an arbitrary row per key, so two colliding docs arriving in the SAME
+    micro-batch can split a band-key group between them and BOTH fail
+    the all-bands-kept test — the group loses every member instead of
+    keeping one. Across micro-batches the earlier arrival wins
+    deterministically via state. Ingestion of a crawl is time-sliced
+    (file/Kafka batches), which bounds the window of this loss to one
+    trigger; put streaming_exact_dedup (deterministic, keyed by full
+    fingerprint) upstream so byte-identical re-crawls never reach this
+    stage."""
+    from ..operators.dedup import banded_keys, with_minhash_sig
+
+    sigd = with_minhash_sig(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    keyed = banded_keys(
+        sigd, bands, sig_col="sig", keep_cols=(id_col, ts_col)
+    ).withColumn("n_bands", F.lit(bands))
+    short = sigd.filter(F.size("sig") == 0).select(
+        id_col,
+        ts_col,
+        F.lit(-1).alias("band"),
+        F.xxhash64(F.col(id_col)).alias("bucket"),
+        F.lit(1).alias("n_bands"),
+    )
+    return (
+        keyed.unionByName(short)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["band", "bucket"])
+    )
+
+
+def lsh_survivors(band_batch: DataFrame, id_col: str = "url") -> DataFrame:
+    """Per-micro-batch decision for streaming_lsh_near_dedup (use inside
+    foreachBatch): a doc is kept iff ALL of its band keys survived the
+    key-level dedup — any missing band means that band collided with an
+    earlier doc's. A doc's band rows always share one micro-batch (they
+    explode from one input row), so the groupBy never splits a doc."""
+    return (
+        band_batch.groupBy(id_col, "n_bands")
+        .agg(F.count("*").alias("n_kept"))
+        .filter(F.col("n_kept") == F.col("n_bands"))
+        .select(id_col)
+    )

@@ -122,3 +122,78 @@ def test_streaming_exact_dedup(spark, mini_docs, tmp_path):
     )
     assert got.count() == n_fp_batch            # one survivor per fingerprint
     assert got.select("fingerprint").distinct().count() == n_fp_batch
+
+
+def test_streaming_lsh_near_dedup(spark, tmp_path):
+    """Near-dup docs arriving in later micro-batches are dropped when any
+    LSH band collides with an earlier arrival; distinct docs and
+    sub-n-token docs survive. Expectation = greedy-by-slice replay over
+    the batch band keys (same banded_keys expression the stream uses)."""
+    import pandas as pd
+    from redo_log_parser_spark.operators.dedup import (
+        banded_keys, with_minhash_sig)
+    from redo_log_parser_spark.streaming.stream import (
+        lsh_survivors, stream_documents, streaming_lsh_near_dedup)
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls on the quiet grey town and nobody watches the road")
+    slices = [
+        [("u0", base),
+         ("u1", "completely different words about spark shuffles and "
+                "partitions flowing through executors at night")],
+        [("u2", base),                           # exact text of u0 -> drop
+         ("u3", base.replace("road", "street")),  # near dup of u0 -> drop
+         ("u4", "tiny doc")],                     # sub-n-token -> keep
+        [("u5", "a third corpus of entirely unrelated tokens speaking "
+                "of harvest moons and copper kettles boiling slowly")],
+    ]
+    src, sink = str(tmp_path / "lsrc"), str(tmp_path / "lsink")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    all_rows = []
+    for i, sl in enumerate(slices):
+        rows = [(u, t0 + pd.Timedelta(minutes=i), None, t, "en")
+                for u, t in sl]
+        all_rows.extend(rows)
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    docs = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").option("maxFilesPerTrigger", "1").parquet(src)
+    out = streaming_lsh_near_dedup(docs, num_hashes=16, bands=4)
+    kept = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, _i: kept.extend(
+                r["url"] for r in lsh_survivors(b).collect()))
+        .option("checkpointLocation", str(tmp_path / "lckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # greedy replay: doc dropped iff any band key seen in an earlier doc
+    # (slice order == arrival order here)
+    bdf = spark.createDataFrame(pd.DataFrame(
+        all_rows, columns=["url", "warc_ts", "html", "text", "lang"]))
+    keys = {
+        r["url"]: set()
+        for r in bdf.collect()
+    }
+    for r in banded_keys(with_minhash_sig(bdf, num_hashes=16), 4,
+                         keep_cols=("url",)).collect():
+        keys[r["url"]].add((r["band"], r["bucket"]))
+    seen, want = set(), set()
+    for u, _t in [x for sl in slices for x in sl]:
+        k = keys[u]
+        if not k:                    # sentinel path: always kept
+            want.add(u)
+        elif not (k & seen):
+            want.add(u)
+            seen |= k
+        else:
+            seen |= k                # dropped doc's fresh keys enter state
+    assert "u0" in want and "u2" not in want
+    assert sorted(kept) == sorted(want)

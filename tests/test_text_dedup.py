@@ -299,3 +299,21 @@ def test_shingles_short_and_empty_docs(spark):
     docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     got = {(r["doc_id"], r["shingle"]) for r in D.shingles(docs, n=3).collect()}
     assert got == {(3, "one two three")}
+
+
+def test_row_minhash_sig_matches_aggregated(docs):
+    """with_minhash_sig (per-row, streaming-safe) must produce the exact
+    signature minhash_signatures aggregates — same hash family, same
+    shingling; docs with fewer than n tokens get an empty sig where the
+    aggregate emits no row."""
+    agg = {r["doc_id"]: list(r["sig"])
+           for r in D.minhash_signatures(docs, num_hashes=16).collect()}
+    row = {r["doc_id"]: list(r["sig"])
+           for r in D.with_minhash_sig(docs, num_hashes=16)
+                     .select("doc_id", "sig").collect()}
+    for did, sig in row.items():
+        if did in agg:
+            assert sig == agg[did], did
+        else:
+            assert sig == []  # sub-n-token doc
+    assert set(agg) <= set(row)

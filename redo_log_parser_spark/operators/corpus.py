@@ -233,7 +233,11 @@ def decontaminate(
     explode feeding a broadcast hash join with NO shuffle of corpus
     data; the only shuffled frame is the contaminated-id set (bounded
     by the corpus docs that hit, typically tiny), which then broadcast
-    anti-joins back. Nothing materializes corpus gram strings."""
+    anti-joins back. Nothing materializes corpus gram strings.
+
+    Streaming: the decision is stateless per doc, so continuous
+    decontamination is foreachBatch(lambda b, _: decontaminate(b,
+    bench)...) with the SAME operator — no streaming variant needed."""
     from ..functions.text import tokens
 
     bench = benchmark.select(

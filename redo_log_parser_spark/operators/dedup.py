@@ -560,3 +560,32 @@ def dedup_components(
         f"dedup_components did not converge in {max_iters} rounds "
         "(disconnected label cycle? diameter beyond 2^{max_iters}?)"
     )
+
+
+def select_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick ONE doc per duplicate cluster: the highest `score_col`
+    (ties → smallest id, fully deterministic). The production policy
+    after fuzzy-dedup clustering — keeping the min id (what
+    dedup_components labels with) throws away the best-written copy of
+    a near-dup group; keeping the best-scored one is the standard
+    corpus-quality move. Returns (id_col, component_id, score_col) of
+    the kept docs — anti-join the rest away or semi-join to filter.
+
+    One shuffle: a row_number window partitioned by component_id (no
+    global sort; near-dup components are small — the same per-group
+    pattern as stratified_sample). Singleton components pass through
+    unchanged."""
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    scored = docs.select(id_col, score_col).join(components, id_col)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "component_id", score_col)
+    )

@@ -53,6 +53,27 @@ def test_components_nonconvergence_raises(spark):
     assert set(got.values()) == {0}
 
 
+def test_select_representatives_best_quality_wins(spark):
+    """Per near-dup cluster, the kept doc is the highest-scored one
+    (tie → smallest id); singletons keep themselves."""
+    docs = _docs(spark, [(i, f"t{i}", s) for i, s in
+                         enumerate([0.1, 0.9, 0.5, 0.9, 0.2, 0.7])],
+                 cols=("doc_id", "text", "quality"))
+    pairs = _docs(spark, [(0, 1), (1, 2), (3, 4)], cols=("id_a", "id_b"))
+    comps = D.dedup_components(docs, pairs)
+    got = {r["component_id"]: r["doc_id"]
+           for r in D.select_representatives(docs, comps, "quality").collect()}
+    # cluster {0,1,2}: doc 1 has max quality 0.9; cluster {3,4}: doc 3;
+    # singleton {5}: itself
+    assert got == {0: 1, 3: 3, 5: 5}
+    # tie-break: equal scores -> smallest id
+    docs2 = _docs(spark, [(7, "a", 1.0), (8, "b", 1.0)],
+                  cols=("doc_id", "text", "quality"))
+    comps2 = _docs(spark, [(7, 7), (8, 7)], cols=("doc_id", "component_id"))
+    kept = D.select_representatives(docs2, comps2, "quality").collect()
+    assert [(r["doc_id"], r["component_id"]) for r in kept] == [(7, 7)]
+
+
 def test_hash_sample_deterministic_and_content_keyed(spark):
     rows = [(i, f"document number {i} with words") for i in range(200)]
     rows += [(1000, rows[0][1])]  # exact dup of doc 0's content

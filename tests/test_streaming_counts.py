@@ -197,3 +197,73 @@ def test_streaming_lsh_near_dedup(spark, tmp_path):
             seen |= k                # dropped doc's fresh keys enter state
     assert "u0" in want and "u2" not in want
     assert sorted(kept) == sorted(want)
+
+
+def test_streaming_lsh_near_dedup_on_documents_corpus(spark, tmp_path):
+    """Corpus-scale pin on the driver's documents table (sf0.001, 500
+    docs, 43 involved in real band collisions at 16 hashes / 4 bands):
+    stream survivors == greedy-by-arrival replay over the batch band
+    keys. Docs are layered so no two colliding docs share a micro-batch
+    (the documented same-trigger caveat), making the replay oracle
+    exact."""
+    import pandas as pd
+    from redo_log_parser_spark.operators.dedup import (
+        banded_keys, with_minhash_sig)
+    from redo_log_parser_spark.streaming.stream import (
+        lsh_survivors, streaming_lsh_near_dedup)
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    keys = {}
+    for r in banded_keys(with_minhash_sig(d, 16), 4,
+                         keep_cols=("doc_id",)).collect():
+        keys.setdefault(r["doc_id"], set()).add((r["band"], r["bucket"]))
+    all_ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+
+    # layer assignment: a doc goes one layer after the last earlier doc
+    # it collides with, so every micro-batch is internally collision-free
+    layer, key_last_layer = {}, {}
+    for did in sorted(all_ids):
+        k = keys.get(did, set())
+        lay = max((key_last_layer.get(x, -1) for x in k), default=-1) + 1
+        layer[did] = lay
+        for x in k:
+            key_last_layer[x] = lay
+    n_layers = max(layer.values()) + 1
+    assert n_layers >= 2          # the corpus really has collisions
+
+    pdf = d.toPandas()
+    t0 = pd.Timestamp("2024-01-01")
+    pdf["warc_ts"] = pdf["doc_id"].map(
+        lambda i: t0 + pd.Timedelta(minutes=layer[i]))
+    pdf["url"] = pdf["doc_id"].map(lambda i: f"d{i}")
+    src = str(tmp_path / "csrc")
+    for lay in range(n_layers):
+        sl = pdf[pdf["doc_id"].map(layer) == lay]
+        spark.createDataFrame(
+            sl[["url", "warc_ts", "text", "doc_id"]]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    docs = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string, doc_id long"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    out = streaming_lsh_near_dedup(docs, num_hashes=16, bands=4)
+    kept = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, _i: kept.extend(
+                r["url"] for r in lsh_survivors(b).collect()))
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    seen, want = set(), set()
+    for lay in range(n_layers):
+        for did in sorted(i for i in all_ids if layer[i] == lay):
+            k = keys.get(did, set())
+            if not k or not (k & seen):
+                want.add(f"d{did}")
+            seen |= k
+    assert len(want) < len(all_ids)     # something was actually dropped
+    assert sorted(kept) == sorted(want)

@@ -175,18 +175,23 @@ def minhash_signatures(
 def with_minhash_sig(
     docs: DataFrame, num_hashes: int = 64, n: int = 3,
     text_col: str = "text", out_col: str = "sig",
+    keep_shingles: str | None = None,
 ) -> DataFrame:
     """Per-ROW MinHash signature — the aggregation-free twin of
     minhash_signatures (identical hash family xxhash64(seed k, shingle),
     identical signature for identical text; parity-pinned in
     tests/test_text_dedup.py). No groupBy, so it composes with
     Structured Streaming where an aggregation would be a stateful
-    operator. Docs with fewer than n tokens get an EMPTY signature
-    (minhash_signatures likewise emits no row for them).
+    operator, and lets the batch pair path skip the shingle
+    explode+distinct and per-doc agg shuffles entirely. Docs with fewer
+    than n tokens get an EMPTY signature (minhash_signatures likewise
+    emits no row for them). `keep_shingles` additionally emits the
+    DISTINCT shingle set under that name (for exact-Jaccard verify).
 
     Tokens and shingles are staged as named columns (PLANS.md §10: the
     interpreted lambda walker has no CSE — an inline tokenize inside the
-    hash lambda would re-split the text per shingle per hash)."""
+    hash lambda would re-split the text per shingle per hash); hashing
+    runs over the distinct set (min is unaffected, fewer evals)."""
     base = docs.withColumn("__tk", tokens(F.lower(F.col(text_col))))
     toks = F.col("__tk")
     sh = F.when(
@@ -196,17 +201,20 @@ def with_minhash_sig(
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = base.withColumn("__sh", sh)
+    base = base.withColumn("__shd", F.array_distinct(sh))
     sig = F.when(
-        F.size("__sh") > 0,
+        F.size("__shd") > 0,
         F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda k: F.array_min(
-                F.transform(F.col("__sh"), lambda s: F.xxhash64(k, s))
+                F.transform(F.col("__shd"), lambda s: F.xxhash64(k, s))
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return base.withColumn(out_col, sig).drop("__tk", "__sh")
+    out = base.withColumn(out_col, sig)
+    if keep_shingles is not None:
+        out = out.withColumn(keep_shingles, F.col("__shd"))
+    return out.drop("__tk", "__shd")
 
 
 def banded_keys(
@@ -300,27 +308,35 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard.
 
-    ONE fused per-doc aggregate computes the MinHash signature, the
-    distinct shingle SET and its size together (round-3 restructure —
-    the previous shape cached the shingle frame and re-aggregated it
-    three times, then verified through a 6-join semi-join cascade on the
-    exploded shingles; the driver bench was stage-count-bound, 12 s for
-    260k shingle rows). Verification is doc-level: candidate pairs join
-    the per-doc shingle arrays and Jaccard is |array_intersect| / union
-    — exact, since shingles() is distinct per doc. Shuffle profile:
-    shingle distinct, per-doc agg, band self-join, pair distinct, two
-    verify joins — six exchanges total, none carrying more than the
-    corpus once. At 100 TB the verify joins move shingle arrays only
-    for docs that appear in candidate pairs (inner joins on cand), and
-    degenerate buckets stay bounded via max_bucket_size."""
-    sh = shingles(docs, n, id_col, text_col)
-    per_doc = sh.groupBy(id_col).agg(
-        F.array(
-            *[F.min(F.xxhash64(F.lit(k), F.col("shingle"))) for k in range(num_hashes)]
-        ).alias("sig"),
-        F.collect_list("shingle").alias("shs"),
-        F.count("*").alias("n_sh"),
-    ).cache()
+    The per-doc frame (MinHash signature, distinct shingle SET, size)
+    is a pure PROJECTION (with_minhash_sig — round-3 session-4
+    restructure): signature and set are computed row-wise from the
+    token array, so the old shingle explode+distinct and per-doc
+    groupBy shuffles are gone entirely. (History: round 3 first fused
+    those into one aggregate after the round-2 shape's 6-join cascade
+    measured 12 s; the projection form removes the remaining two
+    exchanges.) Verification is doc-level: candidate pairs join the
+    per-doc shingle arrays and Jaccard is |array_intersect| / union —
+    exact, since the kept set is distinct per doc. Shuffle profile:
+    band self-join, pair distinct, two verify joins — four exchanges
+    total, none carrying more than the corpus once. At 100 TB the
+    verify joins move shingle arrays only for docs that appear in
+    candidate pairs (inner joins on cand), and degenerate buckets stay
+    bounded via max_bucket_size."""
+    # NO filter on the projected columns: a predicate like
+    # size(shs) > 0 would be alias-substituted below the Project by
+    # predicate pushdown and re-evaluate the whole shingle tree per row
+    # (measured 10x — the Filter cousin of the PLANS §10 no-CSE rule).
+    # Empty-sig docs are inert anyway: banded_keys emits no keys for
+    # them, and the verify joins are inner joins against the candidates.
+    per_doc = (
+        with_minhash_sig(
+            docs, num_hashes=num_hashes, n=n, text_col=text_col,
+            keep_shingles="shs",
+        )
+        .select(id_col, "sig", "shs", F.size("shs").alias("n_sh"))
+        .cache()
+    )
     cand = minhash_lsh_candidates(
         per_doc.select(id_col, "sig"), bands, id_col, max_bucket_size
     )

@@ -220,6 +220,7 @@ def with_minhash_sig(
 def banded_keys(
     sigs: DataFrame, bands: int, sig_col: str = "sig",
     keep_cols: tuple[str, ...] = ("doc_id",),
+    sentinel_for: str | None = None,
 ) -> DataFrame:
     """Explode a signature column into its LSH band keys:
     (*keep_cols, band, bucket) with bucket = xxhash64 of the
@@ -227,8 +228,24 @@ def banded_keys(
     streaming near-dedup so both sides band identically. Empty
     signatures yield no rows (explode of an empty struct array — NOT
     `bands` keys over an empty slice, which would make every empty doc
-    collide on xxhash64(''))."""
+    collide on xxhash64('')) — unless `sentinel_for` names an id
+    column, in which case an empty-sig row emits ONE never-colliding
+    pass-through key (band -1, bucket = xxhash64 of the id): the
+    streaming path uses this so sub-n-token docs flow through in the
+    SAME single scan instead of a second filtered branch (a
+    filter(size(sig)==0) union re-evaluates the whole signature tree —
+    predicate pushdown substitutes aliases unconditionally, PLANS §10)."""
     rows_per_band = (F.size(sig_col) / bands).cast("int")
+    empty = (
+        F.array(
+            F.struct(
+                F.lit(-1).alias("band"),
+                F.xxhash64(F.col(sentinel_for)).alias("bucket"),
+            )
+        )
+        if sentinel_for is not None
+        else F.array().cast("array<struct<band:int,bucket:bigint>>")
+    )
     band_structs = F.when(
         F.size(sig_col) > 0,
         F.transform(
@@ -248,7 +265,7 @@ def banded_keys(
                 ).alias("bucket"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<band:int,bucket:bigint>>"))
+    ).otherwise(empty)
     return (
         sigs.select(*keep_cols, F.explode(band_structs).alias("bb"))
         .select(*keep_cols, "bb.band", "bb.bucket")

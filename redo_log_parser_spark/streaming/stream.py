@@ -141,19 +141,17 @@ def streaming_lsh_near_dedup(
     from ..operators.dedup import banded_keys, with_minhash_sig
 
     sigd = with_minhash_sig(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    # one scan, one signature evaluation: the sentinel key for
+    # sub-n-token docs rides the same explode (a filtered+union second
+    # branch would re-evaluate the whole sig tree — PLANS §10)
     keyed = banded_keys(
-        sigd, bands, sig_col="sig", keep_cols=(id_col, ts_col)
-    ).withColumn("n_bands", F.lit(bands))
-    short = sigd.filter(F.size("sig") == 0).select(
-        id_col,
-        ts_col,
-        F.lit(-1).alias("band"),
-        F.xxhash64(F.col(id_col)).alias("bucket"),
-        F.lit(1).alias("n_bands"),
+        sigd, bands, sig_col="sig", keep_cols=(id_col, ts_col),
+        sentinel_for=id_col,
+    ).withColumn(
+        "n_bands", F.when(F.col("band") == -1, 1).otherwise(bands)
     )
     return (
-        keyed.unionByName(short)
-        .withWatermark(ts_col, watermark)
+        keyed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["band", "bucket"])
     )
 

@@ -52,17 +52,20 @@ def duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+def with_shingle_set(
+    docs: DataFrame, n: int = 3, text_col: str = "text",
+    out_col: str = "shs",
+) -> DataFrame:
+    """docs + `out_col`: the DISTINCT word n-gram shingle set per row,
+    as an array — a pure projection (array_distinct does the per-doc
+    dedup row-side, so no global distinct shuffle is ever needed).
     Built with array expressions (no UDF): slide a window of n over the
     token array."""
     # tokens materialized as a NAMED column first: higher-order lambdas
     # are interpreted, and an inline tokenize referenced inside the
     # slice lambda would re-split the text at every window position
     # (same 9x trap measured in corpus.ngram_keys)
-    base = docs.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk")
-    )
+    base = docs.withColumn("__tk", tokens(F.lower(F.col(text_col))))
     toks = F.col("__tk")
     # guard: sequence(0, -1) DESCENDS in Spark — a doc with fewer than n
     # tokens must yield an empty shingle list, not invalid slice starts
@@ -73,9 +76,17 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        base.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
+    return base.withColumn(out_col, F.array_distinct(sh)).drop("__tk")
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    The dedup happens row-side (array_distinct before the explode), so
+    this is projection+generate only — the old explode-then-DISTINCT
+    shape shuffled the whole shingle frame for a dedup every row can do
+    locally."""
+    return with_shingle_set(docs, n, text_col).select(
+        F.col(id_col), F.explode("shs").alias("shingle")
     )
 
 
@@ -107,20 +118,25 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over n-gram shingle sets via inverted index:
     (id_a, id_b, jaccard) for unordered pairs ≥ threshold.
 
-    Shuffle profile: one explode + distinct, one self-equi-join on
-    shingle (docs that share no shingle never pair), one pair-count agg.
+    Shuffle profile: one self-equi-join on shingle (docs that share no
+    shingle never pair), one pair-count agg, two size joins. The
+    per-doc dedup and set sizes are ROW-SIDE (array_distinct + size on
+    the cached array frame) — no distinct shuffle, no sizes groupBy.
 
     `max_df` (corpus-scale knob, default off): shingles appearing in
     more than max_df docs are dropped from the index BEFORE the join,
     bounding the per-shingle fan-out at max_df² pairs. Jaccard is then
-    computed over the retained shingle sets (sizes shrink consistently
-    with the numerator), i.e. Jaccard-over-rare-shingles — the usual
+    computed over the RETAINED shingle sets (sizes shrink consistently
+    with the numerator — so that branch re-derives sizes from the
+    post-drop index), i.e. Jaccard-over-rare-shingles — the usual
     web-dedup approximation. Leave None for exact semantics."""
-    sh = shingles(docs, n, id_col, text_col)
+    base = with_shingle_set(docs, n, text_col).select(id_col, "shs").cache()
+    sh = base.select(F.col(id_col), F.explode("shs").alias("shingle"))
     if max_df is not None:
-        sh = _drop_hot_shingles(sh, max_df)
-    sh = sh.cache()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        sh = _drop_hot_shingles(sh, max_df).cache()
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        sizes = base.select(id_col, F.size("shs").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

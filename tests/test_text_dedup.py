@@ -317,3 +317,31 @@ def test_row_minhash_sig_matches_aggregated(docs):
         else:
             assert sig == []  # sub-n-token doc
     assert set(agg) <= set(row)
+
+
+def test_shingle_paths_have_no_distinct_exchange(docs):
+    """Pin the round-3 restructures: per-doc shingle dedup and sizes are
+    ROW-SIDE, so (a) shingles() plans no Exchange at all (projection +
+    generate), and (b) the exact-Jaccard inverted index plans exactly
+    the self-join, pair-agg and size-join exchanges — no
+    explode-then-DISTINCT, no sizes groupBy."""
+    sh_plan = D.shingles(docs, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in sh_plan, sh_plan
+
+    jac = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    jac_plan = jac._jdf.queryExecution().optimizedPlan().toString()
+    # the optimized plan must contain no Deduplicate/Aggregate computing
+    # per-doc distinct shingles: the only aggregate is the pair count
+    n_aggs = jac_plan.count("Aggregate [")
+    assert n_aggs == 1, jac_plan
+
+
+def test_minhash_per_doc_frame_is_projection_only(docs):
+    """The minhash per-doc (sig, shs, n_sh) frame plans zero exchanges —
+    signature and shingle set are row-wise."""
+    per_doc = (
+        D.with_minhash_sig(docs, 16, keep_shingles="shs")
+        .select("doc_id", "sig", "shs")
+    )
+    plan = per_doc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -90,6 +90,19 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     )
 
 
+def validate_bands(num_hashes: int, bands: int) -> None:
+    """Fail fast on LSH configs banded_keys cannot band: signatures
+    must slice evenly and non-emptily into `bands` (num_hashes < bands
+    truncates rows_per_band to 0 — every band would hash the empty
+    slice and every doc would collide with every doc; a remainder would
+    silently ignore trailing hashes)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"bands={bands} (rows_per_band = num_hashes // bands)"
+        )
+
+
 _CAP_SEQ = 0  # unique observe() names (one per _cap_buckets call in a plan)
 
 
@@ -130,12 +143,19 @@ def ngram_jaccard_pairs(
     with the numerator — so that branch re-derives sizes from the
     post-drop index), i.e. Jaccard-over-rare-shingles — the usual
     web-dedup approximation. Leave None for exact semantics."""
-    base = with_shingle_set(docs, n, text_col).select(id_col, "shs").cache()
-    sh = base.select(F.col(id_col), F.explode("shs").alias("shingle"))
+    base = with_shingle_set(docs, n, text_col).select(id_col, "shs")
     if max_df is not None:
-        sh = _drop_hot_shingles(sh, max_df).cache()
+        # base is consumed once here (retained-set sizes come from the
+        # post-drop index) — caching it would pin every doc's shingle
+        # array for zero reuse; cache the filtered index instead
+        sh = _drop_hot_shingles(
+            base.select(F.col(id_col), F.explode("shs").alias("shingle")),
+            max_df,
+        ).cache()
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     else:
+        base = base.cache()  # read twice: the index explode and sizes
+        sh = base.select(F.col(id_col), F.explode("shs").alias("shingle"))
         sizes = base.select(id_col, F.size("shs").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -164,16 +184,14 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
-    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — MinHash over n-gram shingles.
-    Each hash k is xxhash64(seed=k) of the shingle; min per doc. The agg
-    computes all K minima in ONE pass (array of conditional mins), so the
-    cost is a single groupBy regardless of K.
-
-    `shingle_df`: pass a (cached) shingles() frame to share it with the
-    exact-Jaccard verify stage instead of recomputing the explode."""
-    sh = shingle_df if shingle_df is not None else shingles(docs, n, id_col, text_col)
+    """(doc_id, sig: array<bigint>) — MinHash over n-gram shingles,
+    as a per-doc AGGREGATE over the exploded shingle frame. Each hash k
+    is xxhash64(seed=k) of the shingle; min per doc, all K minima in
+    one groupBy pass. Kept as the independently-derived parity baseline
+    for with_minhash_sig (the per-row form every production path now
+    uses — tests/test_text_dedup.py pins the two equal)."""
+    sh = shingles(docs, n, id_col, text_col)
     hashed = sh.select(
         id_col,
         F.array(
@@ -204,20 +222,13 @@ def with_minhash_sig(
     emits no row for them). `keep_shingles` additionally emits the
     DISTINCT shingle set under that name (for exact-Jaccard verify).
 
-    Tokens and shingles are staged as named columns (PLANS.md §10: the
-    interpreted lambda walker has no CSE — an inline tokenize inside the
-    hash lambda would re-split the text per shingle per hash); hashing
-    runs over the distinct set (min is unaffected, fewer evals)."""
-    base = docs.withColumn("__tk", tokens(F.lower(F.col(text_col))))
-    toks = F.col("__tk")
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = base.withColumn("__shd", F.array_distinct(sh))
+    Shingle construction is with_shingle_set — ONE definition of the
+    tokenize→window→array_distinct expression shared with shingles()/
+    ngram_jaccard_pairs, so the batch index and the per-row paths
+    cannot silently diverge. Hashing runs over the distinct set (min is
+    unaffected, fewer evals); the set is staged as a named column
+    (PLANS.md §10 — no CSE in interpreted lambdas)."""
+    base = with_shingle_set(docs, n, text_col, out_col="__shd")
     sig = F.when(
         F.size("__shd") > 0,
         F.transform(
@@ -230,13 +241,13 @@ def with_minhash_sig(
     out = base.withColumn(out_col, sig)
     if keep_shingles is not None:
         out = out.withColumn(keep_shingles, F.col("__shd"))
-    return out.drop("__tk", "__shd")
+    return out.drop("__shd")
 
 
 def banded_keys(
     sigs: DataFrame, bands: int, sig_col: str = "sig",
     keep_cols: tuple[str, ...] = ("doc_id",),
-    sentinel_for: str | None = None,
+    sentinel_for: tuple[str, ...] | str | None = None,
 ) -> DataFrame:
     """Explode a signature column into its LSH band keys:
     (*keep_cols, band, bucket) with bucket = xxhash64 of the
@@ -244,19 +255,27 @@ def banded_keys(
     streaming near-dedup so both sides band identically. Empty
     signatures yield no rows (explode of an empty struct array — NOT
     `bands` keys over an empty slice, which would make every empty doc
-    collide on xxhash64('')) — unless `sentinel_for` names an id
-    column, in which case an empty-sig row emits ONE never-colliding
-    pass-through key (band -1, bucket = xxhash64 of the id): the
-    streaming path uses this so sub-n-token docs flow through in the
-    SAME single scan instead of a second filtered branch (a
-    filter(size(sig)==0) union re-evaluates the whole signature tree —
-    predicate pushdown substitutes aliases unconditionally, PLANS §10)."""
+    collide on xxhash64('')) — unless `sentinel_for` names one or more
+    columns, in which case an empty-sig row emits ONE pass-through key
+    (band -1, bucket = xxhash64 over those columns; the streaming path
+    hashes (id, event time) so the key is unique per ARRIVAL, never a
+    hidden exact-dedup-by-id). The sentinel rides the same explode so
+    the stream stays one scan — a filter(size(sig)==0) union branch
+    would re-evaluate the whole signature tree (predicate pushdown
+    substitutes aliases unconditionally, PLANS §10).
+
+    Signatures must slice evenly into `bands` (callers that build the
+    signature validate num_hashes % bands == 0 — a truncated-to-zero
+    rows_per_band would make EVERY band hash the empty slice and every
+    doc collide with every doc)."""
     rows_per_band = (F.size(sig_col) / bands).cast("int")
+    if isinstance(sentinel_for, str):
+        sentinel_for = (sentinel_for,)
     empty = (
         F.array(
             F.struct(
                 F.lit(-1).alias("band"),
-                F.xxhash64(F.col(sentinel_for)).alias("bucket"),
+                F.xxhash64(*[F.col(c) for c in sentinel_for]).alias("bucket"),
             )
         )
         if sentinel_for is not None
@@ -356,6 +375,7 @@ def minhash_dedup_pairs(
     verify joins move shingle arrays only for docs that appear in
     candidate pairs (inner joins on cand), and degenerate buckets stay
     bounded via max_bucket_size."""
+    validate_bands(num_hashes, bands)
     # NO filter on the projected columns: a predicate like
     # size(shs) > 0 would be alias-substituted below the Project by
     # predicate pushdown and re-evaluate the whole shingle tree per row
@@ -607,7 +627,7 @@ def dedup_components(
     edges.unpersist()
     raise RuntimeError(
         f"dedup_components did not converge in {max_iters} rounds "
-        "(disconnected label cycle? diameter beyond 2^{max_iters}?)"
+        f"(disconnected label cycle? diameter beyond 2^{max_iters}?)"
     )
 
 

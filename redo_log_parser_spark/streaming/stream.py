@@ -119,9 +119,10 @@ def streaming_lsh_near_dedup(
 
     State = one row per seen band key, expired by the watermark —
     bounded, like streaming_exact_dedup. Docs with fewer than n tokens
-    have no signature to judge; they carry one never-colliding
-    sentinel key (band -1, bucket = xxhash64 of the doc id) so they
-    flow through and are always kept.
+    have no signature to judge; they carry one sentinel key (band -1,
+    bucket = xxhash64 of (id, event time) — unique per ARRIVAL, so they
+    flow through and are always kept; keying the sentinel by id alone
+    would silently exact-dedup tiny docs by url).
 
     A dropped doc's non-colliding bands do enter state (they survived
     the key-level dedup), so a later doc colliding only with THOSE is
@@ -138,15 +139,16 @@ def streaming_lsh_near_dedup(
     trigger; put streaming_exact_dedup (deterministic, keyed by full
     fingerprint) upstream so byte-identical re-crawls never reach this
     stage."""
-    from ..operators.dedup import banded_keys, with_minhash_sig
+    from ..operators.dedup import banded_keys, validate_bands, with_minhash_sig
 
+    validate_bands(num_hashes, bands)
     sigd = with_minhash_sig(docs, num_hashes=num_hashes, n=n, text_col=text_col)
     # one scan, one signature evaluation: the sentinel key for
     # sub-n-token docs rides the same explode (a filtered+union second
     # branch would re-evaluate the whole sig tree — PLANS §10)
     keyed = banded_keys(
         sigd, bands, sig_col="sig", keep_cols=(id_col, ts_col),
-        sentinel_for=id_col,
+        sentinel_for=(id_col, ts_col),
     ).withColumn(
         "n_bands", F.when(F.col("band") == -1, 1).otherwise(bands)
     )
@@ -156,15 +158,21 @@ def streaming_lsh_near_dedup(
     )
 
 
-def lsh_survivors(band_batch: DataFrame, id_col: str = "url") -> DataFrame:
+def lsh_survivors(
+    band_batch: DataFrame, id_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
     """Per-micro-batch decision for streaming_lsh_near_dedup (use inside
     foreachBatch): a doc is kept iff ALL of its band keys survived the
     key-level dedup — any missing band means that band collided with an
     earlier doc's. A doc's band rows always share one micro-batch (they
-    explode from one input row), so the groupBy never splits a doc."""
+    explode from one input row). Doc identity is (id, event time): two
+    versions of the same url inside one trigger are judged
+    independently instead of merging their band counts (which would
+    wrongly drop both); same-id same-ts arrivals remain one group —
+    the one genuinely indistinguishable case."""
     return (
-        band_batch.groupBy(id_col, "n_bands")
+        band_batch.groupBy(id_col, ts_col, "n_bands")
         .agg(F.count("*").alias("n_kept"))
         .filter(F.col("n_kept") == F.col("n_bands"))
-        .select(id_col)
+        .select(id_col, ts_col)
     )

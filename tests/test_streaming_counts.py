@@ -267,3 +267,48 @@ def test_streaming_lsh_near_dedup_on_documents_corpus(spark, tmp_path):
             seen |= k
     assert len(want) < len(all_ids)     # something was actually dropped
     assert sorted(kept) == sorted(want)
+
+
+def test_streaming_lsh_same_url_two_versions_one_batch(spark, tmp_path):
+    """Doc identity is (url, warc_ts): two non-colliding versions of one
+    url inside a single trigger are judged independently (merging their
+    band counts would wrongly drop both), and a tiny re-crawl at a new
+    ts is always kept (the sentinel is unique per arrival, not an
+    exact-dedup-by-url)."""
+    import pandas as pd
+    import pytest
+    from redo_log_parser_spark.streaming.stream import (
+        lsh_survivors, streaming_lsh_near_dedup)
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        ("u0", t0, "alpha beta gamma delta epsilon zeta eta theta "
+                   "iota kappa lambda mu"),
+        ("u0", t0 + pd.Timedelta(seconds=30),
+         "one two three four five six seven eight nine ten eleven"),
+        ("tiny", t0, "so small"),
+        ("tiny", t0 + pd.Timedelta(seconds=30), "also wee"),
+    ]
+    src = str(tmp_path / "vsrc")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    ).coalesce(1).write.parquet(src)
+
+    docs = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string").parquet(src)
+    out = streaming_lsh_near_dedup(docs, num_hashes=16, bands=4)
+    kept = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, _i: kept.extend(
+                (r["url"], str(r["warc_ts"])) for r in lsh_survivors(b).collect()))
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(kept) == 4 and len({u for u, _ in kept}) == 2
+
+    # invalid banding fails fast instead of silently colliding everything
+    with pytest.raises(ValueError, match="multiple of"):
+        streaming_lsh_near_dedup(docs, num_hashes=8, bands=16)

@@ -237,14 +237,20 @@ def decontaminate(
 
     Streaming: the decision is stateless per doc, so continuous
     decontamination is foreachBatch(lambda b, _: decontaminate(b,
-    bench)...) with the SAME operator — no streaming variant needed."""
+    bench)...) with the SAME operator — no streaming variant needed.
+
+    Matching is CASE-INSENSITIVE (both sides lowercased before
+    tokenizing), like every other n-gram/shingle path in the repo and
+    like standard 13-gram benchmark decontamination — a casing
+    difference between a training doc and the benchmark text must not
+    mask contamination (round-3 ADVICE)."""
     from ..functions.text import tokens
 
     bench = benchmark.select(
-        tokens(F.col(bench_text_col or text_col)).alias("__tk")
+        tokens(F.lower(F.col(bench_text_col or text_col))).alias("__tk")
     ).select(F.explode(ngram_keys(F.col("__tk"), n)).alias("g"))
     corpus = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk")
     ).select(
         F.col(id_col), F.explode(ngram_keys(F.col("__tk"), n)).alias("g")
     )

@@ -20,6 +20,9 @@ partitions and cluster sizes (required for checkpoint-resume idempotence).
 
 from __future__ import annotations
 
+import itertools
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -103,7 +106,12 @@ def validate_bands(num_hashes: int, bands: int) -> None:
         )
 
 
-_CAP_SEQ = 0  # unique observe() names (one per _cap_buckets call in a plan)
+# unique observe() names (one per _cap_buckets call in a plan);
+# itertools.count + lock instead of a bare module int so two threads
+# building plans concurrently can't mint the same name (round-3 VERDICT
+# minor #4)
+_CAP_SEQ = itertools.count(1)
+_CAP_SEQ_LOCK = threading.Lock()
 
 
 def _drop_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
@@ -248,6 +256,7 @@ def banded_keys(
     sigs: DataFrame, bands: int, sig_col: str = "sig",
     keep_cols: tuple[str, ...] = ("doc_id",),
     sentinel_for: tuple[str, ...] | str | None = None,
+    manifest_col: str | None = None,
 ) -> DataFrame:
     """Explode a signature column into its LSH band keys:
     (*keep_cols, band, bucket) with bucket = xxhash64 of the
@@ -264,45 +273,97 @@ def banded_keys(
     would re-evaluate the whole signature tree (predicate pushdown
     substitutes aliases unconditionally, PLANS §10).
 
-    Signatures must slice evenly into `bands` (callers that build the
-    signature validate num_hashes % bands == 0 — a truncated-to-zero
-    rows_per_band would make EVERY band hash the empty slice and every
-    doc collide with every doc)."""
+    `manifest_col` (requires sentinel_for): EVERY row — not just
+    empty-sig ones — additionally emits its sentinel row, and that row
+    carries the doc's full real-band key array under `manifest_col`
+    (real band rows carry null there). This is the streaming near-dedup
+    contract: the manifest row's bucket is unique per arrival so it
+    always survives key-level dedup, making every doc VISIBLE
+    downstream with its complete key set even when all its real keys
+    are swallowed by earlier state (round-3 VERDICT #1 — the
+    same-trigger group-loss fix needs the full within-batch collision
+    graph).
+
+    Signatures must slice evenly into `bands`: callers that build the
+    signature validate num_hashes % bands == 0 up front, and a
+    row-level assert enforces the same invariant at action time for
+    direct callers (a truncated-to-zero rows_per_band would make EVERY
+    band hash the empty slice and every doc collide with every doc)."""
     rows_per_band = (F.size(sig_col) / bands).cast("int")
     if isinstance(sentinel_for, str):
         sentinel_for = (sentinel_for,)
-    empty = (
-        F.array(
-            F.struct(
-                F.lit(-1).alias("band"),
-                F.xxhash64(*[F.col(c) for c in sentinel_for]).alias("bucket"),
-            )
+    if manifest_col is not None and sentinel_for is None:
+        raise ValueError("manifest_col requires sentinel_for")
+    sentinel = (
+        F.struct(
+            F.lit(-1).alias("band"),
+            F.xxhash64(*[F.col(c) for c in sentinel_for]).alias("bucket"),
         )
         if sentinel_for is not None
-        else F.array().cast("array<struct<band:int,bucket:bigint>>")
+        else None
+    )
+    # runtime banding guard: evaluated once per non-empty-sig row (a
+    # cheap modulo) — assert_true returns NULL on success, so the
+    # when(...isNull()) wrapper is an always-true gate that cannot be
+    # constant-folded away
+    sig_ok = F.assert_true(
+        (F.size(sig_col) % bands == 0) & (F.size(sig_col) >= bands),
+        F.concat(
+            F.lit("banded_keys: size(sig)="),
+            F.size(sig_col).cast("string"),
+            F.lit(f" is not a positive multiple of bands={bands}"),
+        ),
     )
     band_structs = F.when(
         F.size(sig_col) > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                sig_col, b * rows_per_band + 1, rows_per_band
+        F.when(
+            sig_ok.isNull(),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    sig_col, b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
                             ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ).alias("bucket"),
+                        )
+                    ).alias("bucket"),
+                ),
             ),
         ),
-    ).otherwise(empty)
+    ).otherwise(F.array().cast("array<struct<band:int,bucket:bigint>>"))
+    if manifest_col is not None:
+        # stage the real-band array ONCE as a named column, then explode
+        # real keys + the per-doc sentinel together; the manifest array
+        # rides the Generate and is kept only on the sentinel row
+        staged = sigs.withColumn("__bsx", band_structs)
+        return (
+            staged.select(
+                *keep_cols,
+                "__bsx",
+                F.explode(F.concat(F.col("__bsx"), F.array(sentinel))).alias("bb"),
+            )
+            .select(
+                *keep_cols,
+                "bb.band",
+                "bb.bucket",
+                F.when(F.col("bb.band") == -1, F.col("__bsx")).alias(manifest_col),
+            )
+        )
+    rows = (
+        band_structs
+        if sentinel is None
+        else F.when(F.size(sig_col) > 0, band_structs).otherwise(
+            F.array(sentinel)
+        )
+    )
     return (
-        sigs.select(*keep_cols, F.explode(band_structs).alias("bb"))
+        sigs.select(*keep_cols, F.explode(rows).alias("bb"))
         .select(*keep_cols, "bb.band", "bb.bucket")
     )
 
@@ -317,11 +378,11 @@ def _cap_buckets(
     lost — the standard recall-for-bound trade. Oversized-bucket rows
     are counted into the `lsh_dropped_rows` observation metric so the
     drop is visible, never silent."""
-    global _CAP_SEQ
-    _CAP_SEQ += 1
+    with _CAP_SEQ_LOCK:
+        seq = next(_CAP_SEQ)
     w = Window.partitionBy(*keys)
     sized = banded.withColumn("__bsz", F.count("*").over(w)).observe(
-        f"lsh_bucket_cap_{_CAP_SEQ}",
+        f"lsh_bucket_cap_{seq}",
         F.sum((F.col("__bsz") > max_bucket_size).cast("long")).alias(
             "lsh_dropped_rows"
         ),
@@ -333,11 +394,21 @@ def _cap_buckets(
 def minhash_lsh_candidates(
     sigs: DataFrame, bands: int = 16, id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs agreeing on any full band
     become candidate pairs (id_a < id_b, distinct).
 
+    `num_hashes`: pass the signature length to fail fast on configs
+    banded_keys cannot band (see validate_bands — bands > len(sig)
+    truncates rows_per_band to 0 and EVERY doc would collide with every
+    doc). Left None the same invariant is still enforced, but at action
+    time by banded_keys' row-level assert (round-3 ADVICE: this entry
+    point used to be unguarded).
+
     `max_bucket_size` (corpus-scale knob, default off): see _cap_buckets."""
+    if num_hashes is not None:
+        validate_bands(num_hashes, bands)
     banded = banded_keys(sigs, bands, sig_col="sig", keep_cols=(id_col,))
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, max_bucket_size)

@@ -78,11 +78,21 @@ def run_resumable_batched(
     applied to the union of all pending buckets at once; it must keep the
     `bucket` column (the write partitions by it, so a retried bucket
     overwrites exactly its own directory — identical recovery unit to
-    run_resumable). Per-bucket row counts for the lineage manifest come
-    from one read-back aggregate over the freshly written data, which
-    also verifies the files are readable. Use run_resumable instead when
-    each bucket genuinely needs driver-side work (e.g. its own sink
-    layout); use this for the common map-style resume."""
+    run_resumable). The lineage manifest is derived from ONE read-back
+    aggregate over the freshly written data (which also verifies the
+    files are readable): per-bucket rows_in, and — when the transform's
+    output carries a `parse_error` column — rows_clean/rows_reject split
+    by its nullity, so "which bucket was dirty" stays answerable at 4k
+    buckets (round-3 VERDICT #3: these used to be hardcoded 0 /
+    duplicated). Without a parse_error column rows_clean = rows_in and
+    rows_reject = 0, which is then literally true of the written data.
+    `wall_sec` is the whole single-job wall, recorded identically on
+    every entry of the job (NOT divided) with `job_buckets` = how many
+    buckets shared it — per-bucket timing does not exist in a
+    single-action write, and pretending otherwise hid the slow bucket.
+    Use run_resumable instead when each bucket genuinely needs
+    driver-side work (e.g. its own sink layout) or true per-bucket
+    walls; use this for the common map-style resume."""
     spark = docs.sparkSession
     done = completed_buckets(spark, out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
@@ -102,23 +112,30 @@ def run_resumable_batched(
         .parquet(data_dir)
     )
     wall = time.monotonic() - t0
+    written = spark.read.parquet(data_dir).filter(F.col("bucket").isin(pending))
+    if "parse_error" in written.columns:
+        clean_agg = F.sum(
+            F.col("parse_error").isNull().cast("long")
+        ).alias("n_clean")
+    else:
+        clean_agg = F.count("*").alias("n_clean")
     counts = {
-        r["bucket"]: r["n"]
-        for r in spark.read.parquet(data_dir)
-        .filter(F.col("bucket").isin(pending))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n"))
+        r["bucket"]: (r["n"], r["n_clean"])
+        for r in written.groupBy("bucket")
+        .agg(F.count("*").alias("n"), clean_agg)
         .collect()
     }
     results = []
     for b in pending:
+        n, n_clean = counts.get(b, (0, 0))
         entry = {
             "bucket": b,
             "status": "ok",
-            "rows_in": int(counts.get(b, 0)),
-            "rows_clean": int(counts.get(b, 0)),
-            "rows_reject": 0,
-            "wall_sec": wall / len(pending),
+            "rows_in": int(n),
+            "rows_clean": int(n_clean),
+            "rows_reject": int(n - n_clean),
+            "wall_sec": wall,
+            "job_buckets": len(pending),
             "run_id": run_id,
         }
         record_lineage(out_dir, entry)

@@ -129,28 +129,33 @@ def streaming_lsh_near_dedup(
     also dropped — near-dup chains collapse transitively onto the first
     arrival, exactly like the batch connected-components pass.
 
-    CAVEAT (within one micro-batch): dropDuplicatesWithinWatermark keeps
-    an arbitrary row per key, so two colliding docs arriving in the SAME
-    micro-batch can split a band-key group between them and BOTH fail
-    the all-bands-kept test — the group loses every member instead of
-    keeping one. Across micro-batches the earlier arrival wins
-    deterministically via state. Ingestion of a crawl is time-sliced
-    (file/Kafka batches), which bounds the window of this loss to one
-    trigger; put streaming_exact_dedup (deterministic, keyed by full
-    fingerprint) upstream so byte-identical re-crawls never reach this
-    stage."""
+    Within ONE micro-batch there is no arrival order, so the
+    same-trigger semantics is the batch pipeline's: connected
+    components over the within-batch key-sharing graph, one survivor
+    per component (earliest (ts, id)), implemented in `lsh_survivors`.
+    To make that decidable, EVERY doc emits a MANIFEST row alongside
+    its real band keys (banded_keys manifest mode): band -1, bucket =
+    xxhash64(id, ts) — unique per arrival, so it always survives the
+    key-level dedup — carrying the doc's full band-key array. A doc
+    whose every real key is swallowed by earlier-batch state thus stays
+    visible downstream (the round-3 same-trigger group-loss fix: before
+    this, two colliding docs in one trigger could split a band-key
+    group and BOTH vanish). State grows by one sentinel row per doc
+    (bands+1 rows/doc instead of bands), watermark-expired like the
+    rest. Pathological corner: two arrivals with the same (id, ts) in
+    different triggers inside the watermark collapse onto the first
+    (the sentinel key is their identity) — same-identity re-crawls are
+    exact-deduped by design."""
     from ..operators.dedup import banded_keys, validate_bands, with_minhash_sig
 
     validate_bands(num_hashes, bands)
     sigd = with_minhash_sig(docs, num_hashes=num_hashes, n=n, text_col=text_col)
-    # one scan, one signature evaluation: the sentinel key for
-    # sub-n-token docs rides the same explode (a filtered+union second
-    # branch would re-evaluate the whole sig tree — PLANS §10)
+    # one scan, one signature evaluation: real band keys and the per-doc
+    # manifest row ride the same explode (a filtered+union second branch
+    # would re-evaluate the whole sig tree — PLANS §10)
     keyed = banded_keys(
         sigd, bands, sig_col="sig", keep_cols=(id_col, ts_col),
-        sentinel_for=(id_col, ts_col),
-    ).withColumn(
-        "n_bands", F.when(F.col("band") == -1, 1).otherwise(bands)
+        sentinel_for=(id_col, ts_col), manifest_col="keys",
     )
     return (
         keyed.withWatermark(ts_col, watermark)
@@ -161,18 +166,67 @@ def streaming_lsh_near_dedup(
 def lsh_survivors(
     band_batch: DataFrame, id_col: str = "url", ts_col: str = "warc_ts"
 ) -> DataFrame:
-    """Per-micro-batch decision for streaming_lsh_near_dedup (use inside
-    foreachBatch): a doc is kept iff ALL of its band keys survived the
-    key-level dedup — any missing band means that band collided with an
-    earlier doc's. A doc's band rows always share one micro-batch (they
-    explode from one input row). Doc identity is (id, event time): two
-    versions of the same url inside one trigger are judged
-    independently instead of merging their band counts (which would
-    wrongly drop both); same-id same-ts arrivals remain one group —
-    the one genuinely indistinguishable case."""
-    return (
-        band_batch.groupBy(id_col, ts_col, "n_bands")
-        .agg(F.count("*").alias("n_kept"))
-        .filter(F.col("n_kept") == F.col("n_bands"))
-        .select(id_col, ts_col)
+    """Per-micro-batch survivor election for streaming_lsh_near_dedup
+    (use inside foreachBatch). Doc identity is (id, event time); each
+    doc's manifest row (band -1) carries its full band-key array, and a
+    real key row's presence in the batch means that key was NEW to
+    cross-batch state (key-level dedup let exactly one owner through).
+
+    Rules, matching the batch candidates→components→representative
+    pipeline (there is no arrival order inside one trigger):
+
+      1. A doc any of whose keys is ABSENT from the batch's surviving
+         key set collided with an earlier batch — its whole within-batch
+         component is dropped (the family's survivor already exists in
+         an earlier trigger; chains collapse transitively, like the
+         cross-batch state rule).
+      2. Otherwise one survivor per within-batch component: the
+         smallest (ts, id) — deterministic, no
+         dropDuplicatesWithinWatermark row arbitrariness involved.
+      3. Docs sharing no key (including empty-signature docs, whose
+         manifest carries an empty array) are singleton components and
+         survive.
+
+    Components come from operators/dedup.dedup_components over the
+    exploded manifests self-joined on (band, bucket) — micro-batch
+    sized, with an isEmpty fast path so collision-free batches (the
+    common case) cost two joins and no CC rounds."""
+    from ..operators.dedup import dedup_components
+
+    dk = F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id"))
+    docs = band_batch.filter(F.col("band") == -1).select(
+        dk.alias("dk"), F.col("keys")
+    )
+    kept = band_batch.filter(F.col("band") != -1).select("band", "bucket")
+    ex = docs.select("dk", F.explode("keys").alias("kb")).select(
+        "dk", F.col("kb.band").alias("band"), F.col("kb.bucket").alias("bucket")
+    )
+    touched = (
+        ex.join(kept, ["band", "bucket"], "left_anti").select("dk").distinct()
+    )
+    keyed = docs.select("dk")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.dk") < F.col("b.dk"))
+        .select(F.col("a.dk").alias("id_a"), F.col("b.dk").alias("id_b"))
+        .distinct()
+    )
+    if pairs.isEmpty():
+        surv = keyed.join(touched, "dk", "left_anti")
+    else:
+        comp = dedup_components(keyed, pairs, id_col="dk")
+        bad = (
+            comp.join(touched, "dk", "left_semi")
+            .select("component_id")
+            .distinct()
+        )
+        # component_id IS the min-(ts, id) member — the elected survivor
+        surv = (
+            comp.select(F.col("component_id").alias("dk"))
+            .distinct()
+            .join(bad.select(F.col("component_id").alias("dk")), "dk", "left_anti")
+        )
+    return surv.select(
+        F.col("dk.id").alias(id_col), F.col("dk.ts").alias(ts_col)
     )

@@ -263,6 +263,93 @@ def test_lineage_batched_resume_single_action(spark, mini_docs, tmp_path):
             lambda df: df.select("url"), n_buckets=2)
 
 
+def test_lineage_batched_manifest_honesty(spark, mini_docs, tmp_path):
+    """The batched manifest must be derived, not faked (round-3 VERDICT
+    #3): rows_clean/rows_reject split by parse_error nullity per bucket,
+    wall_sec = the one shared job wall (identical on every entry, with
+    job_buckets recording how many shared it)."""
+    from redo_log_parser_spark.functions.parse import parse_documents
+    from redo_log_parser_spark.sinks.lineage import run_resumable_batched
+
+    out = str(tmp_path / "honest_out")
+    # corrupt a deterministic slice so some buckets carry real rejects
+    docs = mini_docs.withColumn(
+        "text",
+        F.when(F.xxhash64("url") % 5 == 0, F.lit("not a redo statement"))
+        .otherwise(F.col("text")),
+    )
+
+    def transform(df):
+        return parse_documents(
+            df, keep_cols=("url", "warc_ts", "lang", "bucket")
+        ).select("url", "bucket", "op", "parse_error")
+
+    entries = run_resumable_batched(docs, out, transform, n_buckets=4)
+    assert len(entries) == 4
+    got = spark.read.parquet(f"{out}/data")
+    by_bucket = {
+        r["bucket"]: (r["n"], r["n_rej"])
+        for r in got.groupBy("bucket").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("parse_error").isNotNull().cast("long")).alias("n_rej"),
+        ).collect()
+    }
+    assert sum(rej for _n, rej in by_bucket.values()) > 0  # fixture bites
+    for e in entries:
+        n, rej = by_bucket[e["bucket"]]
+        assert e["rows_in"] == n
+        assert e["rows_reject"] == rej
+        assert e["rows_clean"] == n - rej
+        assert e["job_buckets"] == 4
+    walls = {e["wall_sec"] for e in entries}
+    assert len(walls) == 1 and walls.pop() > 0  # one shared job wall
+
+
+def test_lineage_batched_crash_between_write_and_append(spark, mini_docs, tmp_path):
+    """Crash injection: the driver dies AFTER the data write but with
+    only part of the lineage appended -> a re-run resumes exactly the
+    unrecorded buckets and the written data is byte-stable (dynamic
+    partition overwrite rewrites only those buckets)."""
+    from redo_log_parser_spark.sinks import lineage as L
+
+    out = str(tmp_path / "crash_out")
+
+    def transform(df):
+        return df.select("url", "bucket", F.length("text").alias("n_chars"))
+
+    real_record = L.record_lineage
+    calls = {"n": 0}
+
+    def dying_record(out_dir, entry):
+        if calls["n"] >= 3:
+            raise RuntimeError("injected crash after 3 lineage appends")
+        calls["n"] += 1
+        real_record(out_dir, entry)
+
+    L.record_lineage = dying_record
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            L.run_resumable_batched(
+                mini_docs, out, transform, n_buckets=8, run_id="r1")
+    finally:
+        L.record_lineage = real_record
+
+    done = completed_buckets(spark, out)
+    assert len(done) == 3                      # the appends that landed
+    data_before = sorted(
+        (r["url"], r["bucket"], r["n_chars"])
+        for r in spark.read.parquet(f"{out}/data").collect())
+
+    r2 = L.run_resumable_batched(
+        mini_docs, out, transform, n_buckets=8, run_id="r2")
+    assert sorted(e["bucket"] for e in r2) == sorted(set(range(8)) - done)
+    assert completed_buckets(spark, out) == set(range(8))
+    data_after = sorted(
+        (r["url"], r["bucket"], r["n_chars"])
+        for r in spark.read.parquet(f"{out}/data").collect())
+    assert data_after == data_before           # idempotent re-write
+
+
 def test_verbose_entry_dumps(spark, mini_docs, capsys):
     """--verbose analogue of the reference's printEntries /
     printParsedLogEntries / printTransformedLogEntries

@@ -269,6 +269,142 @@ def test_streaming_lsh_near_dedup_on_documents_corpus(spark, tmp_path):
     assert sorted(kept) == sorted(want)
 
 
+def test_streaming_lsh_same_trigger_family_keeps_one(spark, tmp_path):
+    """The round-3 group-loss fix: a whole near-dup family arriving in
+    ONE trigger keeps exactly one member (smallest (ts, id)), instead of
+    splitting its band keys and losing every member. A family whose
+    keys collide with an EARLIER trigger's state keeps zero new members
+    (the survivor already exists), and an unrelated singleton in the
+    same burst is untouched. Expectation = per-trigger replica of the
+    election: union-find over within-batch shared keys, component
+    dropped if any member touches prior state, else min-(ts, id) kept."""
+    import pandas as pd
+    from redo_log_parser_spark.operators.dedup import (
+        banded_keys, with_minhash_sig)
+    from redo_log_parser_spark.streaming.stream import (
+        lsh_survivors, streaming_lsh_near_dedup)
+
+    orig = ("an original essay about rivers bridges and the slow erosion "
+            "of limestone under patient water across long centuries of "
+            "rain carving terraces through the valley floor while "
+            "shepherds moved their flocks between the high summer "
+            "pastures and the sheltered winter folds following paths "
+            "their grandparents had walked")
+    fam = ("a template page listing prices hours directions parking "
+           "notes seasonal menus daily specials contact forms newsletter "
+           "signups cookie banners privacy policies and the same "
+           "boilerplate footer repeated across dozens of mirror sites "
+           "with identical markup identical headings identical "
+           "navigation and identical legal text")
+    slices = [
+        [("orig", orig)],
+        [("fam_c", fam.replace("footer", "banner")),   # family, one trigger
+         ("fam_a", fam),
+         ("fam_b", fam.replace("parking", "garage")),
+         ("solo", "entirely unrelated prose concerning orchards "
+                  "beekeeping and the late frost that ruined the plum "
+                  "blossoms in early april"),
+         ("redo_1", orig.replace("rain", "storms")),   # collide with state
+         ("redo_2", orig.replace("valley", "canyon"))],
+    ]
+    src = str(tmp_path / "fsrc")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    all_rows = []
+    for i, sl in enumerate(slices):
+        rows = [(u, t0 + pd.Timedelta(minutes=i), t) for u, t in sl]
+        all_rows.extend(rows)
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    bdf = spark.createDataFrame(
+        pd.DataFrame(all_rows, columns=["url", "warc_ts", "text"]))
+    keys = {r["url"]: set() for r in bdf.collect()}
+    for r in banded_keys(with_minhash_sig(bdf, num_hashes=16), 4,
+                         keep_cols=("url",)).collect():
+        keys[r["url"]].add((r["band"], r["bucket"]))
+    # the fixture must actually exercise both rules
+    assert keys["fam_a"] & keys["fam_b"] and keys["fam_a"] & keys["fam_c"]
+    assert keys["redo_1"] & keys["orig"] and keys["redo_2"] & keys["orig"]
+    assert not (keys["fam_a"] | keys["solo"]) & keys["orig"]
+    assert not keys["fam_a"] & keys["solo"]
+
+    # replica election, trigger by trigger
+    seen, want = set(), set()
+    for sl in slices:
+        urls = [u for u, _t in sl]
+        parent = {u: u for u in urls}
+
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for i, u in enumerate(urls):
+            for v in urls[i + 1:]:
+                if keys[u] & keys[v]:
+                    parent[find(u)] = find(v)
+        comps = {}
+        for u in urls:
+            comps.setdefault(find(u), []).append(u)
+        for members in comps.values():
+            if any(keys[u] & seen for u in members):
+                continue                       # family seen earlier: no new
+            want.add(min(members))             # same ts -> min url
+        for u in urls:
+            seen |= keys[u]
+
+    docs = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    out = streaming_lsh_near_dedup(docs, num_hashes=16, bands=4)
+    kept = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, _i: kept.extend(
+                r["url"] for r in lsh_survivors(b).collect()))
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert want == {"orig", "fam_a", "solo"}   # pin the concrete outcome
+    assert sorted(kept) == sorted(want)
+
+
+def test_lsh_survivors_chain_component_in_one_batch(spark):
+    """Unit-level election check on a hand-built post-dedup batch:
+    A{K1}, B{K1,K2}, C{K2} form ONE chain component (A and C share no
+    key) -> exactly one survivor, the min id. If K1 was swallowed by
+    earlier-batch state (its row absent from the batch), the whole
+    chain is dropped -> zero survivors."""
+    import pandas as pd
+    from redo_log_parser_spark.streaming.stream import lsh_survivors
+
+    t = pd.Timestamp("2024-01-01")
+    K1, K2 = (0, 111), (1, 222)
+
+    def batch(kept_keys, manifests):
+        rows = []
+        for band, bucket in kept_keys:
+            rows.append(("owner", t, band, bucket, None))
+        for i, (u, ks) in enumerate(manifests.items()):
+            rows.append((u, t, -1, 10_000 + i, ks))
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "band", "bucket", "keys"])
+        return spark.createDataFrame(
+            pdf, "url string, warc_ts timestamp, band int, bucket long, "
+                 "keys array<struct<band:int,bucket:bigint>>")
+
+    manifests = {"a": [K1], "b": [K1, K2], "c": [K2]}
+    got = lsh_survivors(batch([K1, K2], manifests)).collect()
+    assert [(r["url"]) for r in got] == ["a"]
+
+    got = lsh_survivors(batch([K2], manifests)).collect()  # K1 in state
+    assert got == []
+
+
 def test_streaming_lsh_same_url_two_versions_one_batch(spark, tmp_path):
     """Doc identity is (url, warc_ts): two non-colliding versions of one
     url inside a single trigger are judged independently (merging their

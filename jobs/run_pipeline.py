@@ -79,6 +79,14 @@ def main() -> int:
         "PrettyPrinter layout)",
     )
     ap.add_argument(
+        "--reference-trace-order", action="store_true",
+        help="with --xes-file: order traces exactly like the reference "
+        "binary (Scala 2.12 groupBy-HashMap iteration over its seeded "
+        "random row-id suffixes, both replayed in pure Python) so the "
+        ".xes diffs byte-clean against a reference run; default sorts "
+        "traces by case id",
+    )
+    ap.add_argument(
         "--verbose", action="store_true",
         help="dump n-row heads of the extracted / parsed / transformed "
         "entries under the reference's console headers "
@@ -104,6 +112,7 @@ def main() -> int:
         eager_ind=args.eager_ind,
         reference_monotonicity=args.reference_monotonicity,
         xes_document=args.xes_file,
+        reference_trace_order=args.reference_trace_order,
         root_classes=tuple(args.root_class or ()),
         output_dir=args.output,
     )

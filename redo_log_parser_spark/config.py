@@ -67,6 +67,13 @@ class PipelineConfig:
     # CLI output, '<out>/<root>_result.xes', PrettyPrinter layout) —
     # driver-side streaming assembly; for reference-CLI-sized outputs.
     xes_document: bool = False
+    # Order traces in the .xes document exactly like the reference
+    # binary: Scala 2.12 groupBy(HashMap) iteration over its seeded
+    # random row-id suffixes, both replayed in pure Python
+    # (functions/scala_order.py; sinks/xes.reference_trace_order).
+    # False = deterministic case_id sort (repo default). Whole-file
+    # byte equality against a reference .xes needs True.
+    reference_trace_order: bool = False
     # Monotonicity semantics for strict-PK checks: False = real
     # log-order signal (the reference's documented intent), True =
     # constant-true, byte-faithful to the shipped binary whose

@@ -200,13 +200,20 @@ def run_pipeline(
                 # one complete reference-style .xes per root
                 # (Main.scala:149-153 writes <path>_<root>_result.xes)
                 from .functions.xes import trace_xml_pretty
-                from .sinks.xes import write_xes_document
+                from .sinks.xes import (
+                    reference_trace_order, write_xes_document)
 
                 doc_path = (
                     f"{out_dir}/{safe_names[rc]}_result.xes"
                 )
+                order = (
+                    reference_trace_order(clean, rc)
+                    if cfg.reference_trace_order
+                    else None
+                )
                 write_xes_document(
-                    trace_xml_pretty(traces), doc_path, rc, pretty=True
+                    trace_xml_pretty(traces), doc_path, rc, pretty=True,
+                    case_order=order,
                 )
             result.n_traces_by_root[rc] = n
             result.n_traces += n

@@ -34,7 +34,8 @@ def write_traces(traces_xml: DataFrame, out_dir: str, fmt: str = "parquet") -> N
 
 
 def write_xes_document(
-    traces_xml: DataFrame, path: str, root_table: str, pretty: bool = False
+    traces_xml: DataFrame, path: str, root_table: str, pretty: bool = False,
+    case_order: list[str] | None = None,
 ) -> int:
     """Write one complete XES 2.0 XML document. Returns trace count.
 
@@ -42,6 +43,12 @@ def write_xes_document(
     reference's PrettyPrinter(200,2) layout — pass a frame produced by
     functions.xes.trace_xml_pretty (its trace_xml blocks carry the
     indentation).
+
+    case_order (optional): explicit document-level trace order as a
+    list of case ids — pass reference_trace_order(...) to reproduce the
+    reference binary's Scala-HashMap trace order byte-for-byte (the
+    default is a deterministic case_id sort). Driver-side reorder —
+    pair it only with reference-CLI-sized outputs.
 
     Deliberately a driver-side assembly (toLocalIterator — streams
     partitions, never materializes all traces at once); intended for
@@ -53,11 +60,76 @@ def write_xes_document(
         else:
             fh.write('<?xml version="1.0" encoding="UTF-8"?>\n')
             fh.write(xes_log_header(root_table))
-        ordered = traces_xml.select("case_id", "trace_xml").orderBy("case_id")
-        for row in ordered.toLocalIterator():
+        if case_order is not None:
+            by_case = {
+                r["case_id"]: r["trace_xml"]
+                for r in traces_xml.select("case_id", "trace_xml").collect()
+            }
+            missing = set(by_case) - set(case_order)
+            if missing:
+                raise ValueError(
+                    f"case_order is missing {len(missing)} case ids, "
+                    f"e.g. {sorted(missing)[:3]}"
+                )
+            rows = ({"trace_xml": by_case[c]} for c in case_order if c in by_case)
+        else:
+            rows = (
+                traces_xml.select("case_id", "trace_xml")
+                .orderBy("case_id")
+                .toLocalIterator()
+            )
+        for row in rows:
             fh.write(row["trace_xml"])
             if pretty:
                 fh.write("\n")
             n += 1
         fh.write("</log>")
     return n
+
+
+def reference_trace_order(
+    events: DataFrame, root_table: str, seed: int = 42
+) -> list[str]:
+    """The reference binary's document-level trace order, as this
+    engine's case ids (round-3 VERDICT #5 — closes the one remaining
+    .xes divergence, the trace-block multiset canonicalization).
+
+    The reference emits traces in `logEntries.groupBy(_.rowID)`
+    iteration order over the root table's entries
+    (TraceIDParser.scala:46-57, TraceIDParserHelper.scala:19-25) —
+    Scala 2.12 immutable-HashMap order over its (randomly suffixed)
+    row-id strings. Both layers are replicated in pure Python
+    (functions/scala_order.py, each pinned against the in-sandbox
+    Scala 2.12.19 toolchain): the seeded suffix stream rebuilds the
+    reference's row-id strings from this engine's deterministic
+    `orig#k` ids, and the HAMT replica orders them. Driver-side over
+    the collected event log — reference-CLI-sized inputs only."""
+    from ..functions.scala_order import (
+        reference_row_id_map, scala212_groupby_order)
+
+    rows = events
+    if "parse_error" in rows.columns:
+        rows = rows.filter(F.col("parse_error").isNull())
+    collected = (
+        rows.select("ts", "url", "orig_row_id", "row_id", "op", "table_id")
+        .orderBy("ts", "url")
+        .collect()
+    )
+    ref_map = reference_row_id_map(
+        [(r["orig_row_id"], r["op"]) for r in collected], seed
+    )
+    seen: dict[str, str] = {}
+    rt = root_table.lower()
+    for r in collected:
+        if r["table_id"].lower() != rt:
+            continue
+        cid = r["row_id"]
+        if cid not in seen:
+            orig = r["orig_row_id"]
+            k = 0 if cid == orig else int(cid.rsplit("#", 1)[1])
+            seen[cid] = ref_map[(orig, k)]
+    ref_to_ours = {v: k for k, v in seen.items()}
+    return [
+        ref_to_ours[rid]
+        for rid in scala212_groupby_order(list(seen.values()))
+    ]

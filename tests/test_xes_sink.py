@@ -157,14 +157,18 @@ def test_xes_bytes_match_real_reference_output(spark, tmp_path, root,
     """Byte-level golden against the ACTUAL reference implementation's
     .xes (tests/fixtures/README.md documents the capture): running the
     Spark pipeline on the reference's own artifacts/redo_log.txt must
-    reproduce the reference file exactly for each root — byte-equal
-    header and footer, and byte-identical <trace> blocks as a multiset
-    (document-level trace ORDER is the one documented divergence: the
-    reference emits Scala-HashMap iteration order, the pipeline sorts
-    by case id)."""
+    reproduce the reference file exactly for each root.
+
+    Round 4 closed the last divergence: reference_trace_order replays
+    the reference's seeded random row-id suffixes AND its Scala 2.12
+    immutable-HashMap groupBy iteration (functions/scala_order.py), so
+    the WHOLE FILE is now byte-equal with a plain comparison — no
+    trace-block multiset canonicalization. The default case_id-sorted
+    mode keeps the multiset property (also asserted)."""
     import os
     import re
 
+    from redo_log_parser_spark.sinks.xes import reference_trace_order
     from redo_log_parser_spark.sources.logfile import read_log_files
 
     docs = read_log_files(spark, "/root/reference/artifacts/redo_log.txt")
@@ -172,13 +176,22 @@ def test_xes_bytes_match_real_reference_output(spark, tmp_path, root,
     cols_df, ind_df = discover_schema(events)
     schema = summarize_schema(cols_df, ind_df)
     traces = build_traces_df(events, schema, root)
-    path = str(tmp_path / "got.xes")
-    from redo_log_parser_spark.functions.xes import trace_xml_pretty
-    write_xes_document(trace_xml_pretty(traces), path, root, pretty=True)
-    got = open(path).read()
     ref = open(
         os.path.join(os.path.dirname(__file__), "fixtures", fixture)
     ).read()
+    from redo_log_parser_spark.functions.xes import trace_xml_pretty
+    pretty = trace_xml_pretty(traces).cache()
+
+    # byte-faithful mode: plain whole-file equality
+    path = str(tmp_path / "got_ref_order.xes")
+    order = reference_trace_order(events, root)
+    write_xes_document(pretty, path, root, pretty=True, case_order=order)
+    assert open(path).read() == ref
+
+    # default mode: trace blocks as a multiset, header/footer byte-equal
+    path = str(tmp_path / "got.xes")
+    write_xes_document(pretty, path, root, pretty=True)
+    got = open(path).read()
     blocks = lambda s: re.findall(r"[ ]*<trace>.*?</trace>", s, re.S)  # noqa: E731
     tg, tr = blocks(got), blocks(ref)
     assert got[:got.index("<trace>") - 2] == ref[:ref.index("<trace>") - 2]

@@ -150,7 +150,16 @@ def ngram_jaccard_pairs(
     computed over the RETAINED shingle sets (sizes shrink consistently
     with the numerator — so that branch re-derives sizes from the
     post-drop index), i.e. Jaccard-over-rare-shingles — the usual
-    web-dedup approximation. Leave None for exact semantics."""
+    web-dedup approximation. Leave None for exact semantics.
+
+    Cache lifecycle: the per-doc shingle frame (or the filtered index)
+    is cache()d because the plan reads it twice WITHIN one action; it
+    cannot be unpersisted here (the return value is lazy — dropping the
+    mark before the caller's action would disable the reuse). Repeated
+    calls in one long-lived session accumulate cached frames: call
+    spark.catalog.clearCache() between invocations if that matters
+    (bench.py does; unreferenced entries are also reclaimed by the
+    ContextCleaner on GC)."""
     base = with_shingle_set(docs, n, text_col).select(id_col, "shs")
     if max_df is not None:
         # base is consumed once here (retained-set sizes come from the
@@ -445,7 +454,12 @@ def minhash_dedup_pairs(
     total, none carrying more than the corpus once. At 100 TB the
     verify joins move shingle arrays only for docs that appear in
     candidate pairs (inner joins on cand), and degenerate buckets stay
-    bounded via max_bucket_size."""
+    bounded via max_bucket_size.
+
+    Cache lifecycle: per_doc stays cache()d after return — the lazy
+    result reads it three times in one action, so it cannot be
+    unpersisted here; see ngram_jaccard_pairs for the session-hygiene
+    options."""
     validate_bands(num_hashes, bands)
     # NO filter on the projected columns: a predicate like
     # size(shs) > 0 would be alias-substituted below the Project by

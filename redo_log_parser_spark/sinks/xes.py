@@ -5,8 +5,10 @@ Two modes:
     the scale path (10^9 traces never become one XML document).
   * write_xes_document: assemble ONE complete .xes file (header +
     traces + footer) like the reference CLI does — for tooling
-    compatibility on small outputs. Trace order is made deterministic
-    by sorting on case_id; content per trace already has log order.
+    compatibility on small outputs. Trace order defaults to a
+    deterministic case_id sort; pass case_order=reference_trace_order(
+    events, root) for the reference binary's exact document order
+    (whole-file byte equality). Content per trace has log order.
 
 The reference pretty-prints with scala.xml.PrettyPrinter(200, 2) and
 re-saves with XML.save (TraceIDParser.scala:153-160). pretty=True

@@ -10,9 +10,12 @@ the Spark engine on the same file, and demands:
   table/column/FK-target levels — all Scala-HashMap artifacts)
 - strict console schema dump: identical, with mono_mode='reference'
   (the shipped binary's vacuously-true increasing check)
-- .xes for a seed-chosen root: byte-equal header/footer and
-  byte-identical <trace> blocks as multisets, plain AND
-  --includeUpdateValues
+- .xes for a seed-chosen root: WHOLE-FILE byte equality, plain AND
+  --includeUpdateValues (round 4: our .xes is emitted with
+  reference_trace_order, which replays the binary's seeded random
+  rowid suffixes + Scala 2.12 groupBy iteration — so every fuzz seed
+  now also differentially validates the trace-order replica; the
+  multiset checks are kept first to localize any failure)
 
 No planned ground truth: the reference binary IS the oracle, so any
 mismatch is a semantics divergence, not a fixture bug. A wider sweep
@@ -62,17 +65,24 @@ def _assert_schema_dumps_equal(ours: str, ref: str, label: str) -> None:
 
 
 def _assert_xes_equal(ours: str, ref: str, label: str) -> None:
+    # staged asserts localize a failure (header/footer vs content vs
+    # document order) before the definitive whole-file comparison
     assert ours[:ours.index("<trace>") - 2] == ref[:ref.index("<trace>") - 2], label
     assert ours[ours.rindex("</trace>"):] == ref[ref.rindex("</trace>"):], label
     tg, tr = _TRACE_RE.findall(ours), _TRACE_RE.findall(ref)
     assert len(tg) == len(tr), (label, len(tg), len(tr))
     assert sorted(tg) == sorted(tr), label
+    assert ours == ref, (label, "trace ORDER diverges (content equal)")
 
 
 def _our_xes(events, schema, root, path, include_update_values):
+    from redo_log_parser_spark.sinks.xes import reference_trace_order
+
     traces = build_traces_df(
         events, schema, root, include_update_values=include_update_values)
-    write_xes_document(trace_xml_pretty(traces), path, root, pretty=True)
+    write_xes_document(
+        trace_xml_pretty(traces), path, root, pretty=True,
+        case_order=reference_trace_order(events, root))
     return open(path, encoding="utf-8").read()
 
 

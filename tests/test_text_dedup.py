@@ -291,6 +291,42 @@ def test_bucket_cap_drop_metric_is_observable(spark):
     assert row.getLong(0) == 30 * 8  # every row of the degenerate buckets
 
 
+def test_bucket_cap_names_unique_across_threads(spark):
+    """_cap_buckets observe names must never collide — round-3 VERDICT
+    minor #4: the old bare-int module counter could mint duplicates
+    under concurrent plan construction. Build plans from several
+    threads and check every minted name is distinct (observe() raises
+    on duplicate names within one plan; across plans duplicate names
+    would silently merge metrics)."""
+    import re
+    import threading
+
+    rows = [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(8)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = D.with_minhash_sig(docs, num_hashes=16).select("doc_id", "sig")
+    plans, errs = [], []
+
+    def build():
+        try:
+            df = D.minhash_lsh_candidates(sigs, bands=4, max_bucket_size=3)
+            plans.append(df._jdf.queryExecution().analyzed().toString())
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [threading.Thread(target=build) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    names = []
+    for p in plans:  # a plan may print its CollectMetrics name twice
+        got = set(re.findall(r"lsh_bucket_cap_\d+", p))
+        assert len(got) == 1, got
+        names.append(got.pop())
+    assert len(names) == 6 and len(set(names)) == 6
+
+
 def test_shingles_short_and_empty_docs(spark):
     """Docs with fewer than n tokens (incl. empty) yield no shingles —
     regression pin for the Spark descending-sequence gotcha

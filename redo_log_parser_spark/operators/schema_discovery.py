@@ -308,12 +308,26 @@ def inclusion_dependencies_eager(writes: DataFrame, registry: DataFrame) -> Data
     (SchemaDeriver.scala:69-93).
 
     The reference recomputes isSubsetOf after EVERY entry, but only ADDS
-    a pair when one of its two columns was created by that very entry
-    (the previousSchema filter), and REMOVES a pair whenever inclusion
-    stops holding (the similarColumns filter). Since columns are created
-    exactly once, the net semantics are: pair (A ⊆ B) is reported iff
-    inclusion holds at every evaluation step from pair birth
-    t0 = max(creation(A), creation(B)) through the end of the log.
+    a pair at an entry that CREATES one of the two TABLES — not merely
+    one of the columns. previousSchema is `schema.clone()`
+    (SchemaExtractor.scala:28), a SHALLOW HashMap clone whose Table
+    values alias the live objects, so the two column-level
+    `previousSchema(t).columns.contains(...)` clauses in the
+    newColumns filter see the post-mutation column maps and are
+    vacuously false for pre-existing tables; only the table-level
+    `!previousSchema.contains(tableName)` clauses can fire. (Round-4
+    discovery, pinned against the in-sandbox binary in
+    tests/test_ind_semantics.py::test_eager_gate_is_table_birth_not_column_birth:
+    a column born into an EXISTING table by a later statement never
+    gains and is never gained as an FK target, even when inclusion
+    holds from its creation onward.) REMOVALS (the similarColumns
+    filter) still happen on every entry, and a removed pair can never
+    re-add (its two tables are only ever created once). Net semantics:
+    pair (A ⊆ B) is reported iff both columns already exist at
+    t0 = max(table_birth(A's table), table_birth(B's table)) — i.e.
+    each column appears in its table's very first statement or earlier
+    than the other table's birth — and inclusion holds at every
+    evaluation step from t0 through the end of the log.
 
     The final evaluation is the final state, so eager pairs ⊆ final
     pairs: candidates come from the final-state join and are FILTERED by
@@ -328,8 +342,10 @@ def inclusion_dependencies_eager(writes: DataFrame, registry: DataFrame) -> Data
     final_pairs = inclusion_dependencies(current_values(writes), registry)
     iv = _value_intervals(writes)
     created = writes.groupBy("table_id", "col").agg(F.min("sk").alias("created_sk"))
+    tbirth = writes.groupBy("table_id").agg(F.min("sk").alias("tb_sk"))
     pairs = (
         final_pairs.join(created, ["table_id", "col"])
+        .join(tbirth, ["table_id"])
         .join(
             created.select(
                 F.col("table_id").alias("ref_table"),
@@ -338,7 +354,20 @@ def inclusion_dependencies_eager(writes: DataFrame, registry: DataFrame) -> Data
             ),
             ["ref_table", "ref_col"],
         )
-        .withColumn("t0", F.greatest("created_sk", "ref_created_sk"))
+        .join(
+            tbirth.select(
+                F.col("table_id").alias("ref_table"),
+                F.col("tb_sk").alias("ref_tb_sk"),
+            ),
+            ["ref_table"],
+        )
+        # pair birth = the entry creating the LATER of the two TABLES;
+        # columns born after it never open the gate (see docstring)
+        .withColumn("t0", F.greatest("tb_sk", "ref_tb_sk"))
+        .filter(
+            (F.col("created_sk") <= F.col("t0"))
+            & (F.col("ref_created_sk") <= F.col("t0"))
+        )
         .select("table_id", "col", "ref_table", "ref_col", "t0")
     )
     pkey = ["table_id", "col", "ref_table", "ref_col"]

@@ -310,6 +310,93 @@ def extract_schema(
     return schema
 
 
+def eager_inds_replay(entries: list[ParsedEntry]) -> set[tuple[str, str, str, str]]:
+    """Faithful SET-LEVEL replay of the reference's eager IND loop
+    (SchemaExtractor.scala:27-45 + SchemaDeriver.scala:31-95), the
+    ground truth for ind_mode='eager' on logs too large to push through
+    the binary's per-entry O(tables!) permutation walk.
+
+    Key facts (round 4, pinned against the binary on probe logs in
+    tests/test_ind_semantics.py):
+      * previousSchema is a SHALLOW clone, so the add-gate opens only at
+        entries that CREATE a table — pairs can only be born when the
+        later of their two tables is born, and only between columns
+        that exist at that entry;
+      * removal (the similarColumns filter) runs at EVERY entry over
+        current distinct values; a removed pair never re-adds;
+      * at set level the permutation order is irrelevant (membership in
+        similar/new is order-free), so one pass per entry suffices.
+
+    Returns {(table, col, ref_table, ref_col)}: col's values ⊆ ref's."""
+    values: dict[tuple[str, str], dict[str, str]] = {}  # (tbl,col) -> row->val
+    tables_seen: list[str] = []
+    cols_of: dict[str, list[str]] = {}
+    stored: set[tuple[tuple[str, str], tuple[str, str]]] = set()
+
+    def distinct(c):
+        return set(values[c].values())
+
+    def holds(a, b):
+        return distinct(a) <= distinct(b)
+
+    for e in entries:
+        new_table = e.table_id not in cols_of
+        if new_table:
+            tables_seen.append(e.table_id)
+            cols_of[e.table_id] = []
+        touched: list[tuple[str, str]] = []
+
+        def touch(col, write=None, delete_row=None):
+            key = (e.table_id, col)
+            if key not in values:
+                values[key] = {}
+                cols_of[e.table_id].append(col)
+            if write is not None:
+                values[key][e.row_id] = write
+            if delete_row is not None:
+                values[key].pop(delete_row, None)
+            touched.append(key)
+
+        if e.op == "insert":
+            for col, val in zip(e.insert_cols, e.insert_vals):
+                touch(col, write=val)
+        elif e.op == "update":
+            touch(e.upd_attr, write=e.upd_new)
+        else:
+            for col in e.delete_cols:
+                if col == "ROWID":
+                    continue
+                touch(col, delete_row=e.row_id)
+
+        # removals: any stored pair involving a touched column is the
+        # only kind that can newly break at this evaluation
+        if touched:
+            tset = set(touched)
+            stored = {
+                (a, b)
+                for (a, b) in stored
+                if (a not in tset and b not in tset) or holds(a, b)
+            }
+        # additions: only when this entry created a table — new pairs
+        # between the new table's columns and every older column, both
+        # directions, if inclusion holds RIGHT NOW
+        if new_table and len(cols_of) > 1:
+            new_cols = [(e.table_id, c) for c in cols_of[e.table_id]]
+            old_cols = [
+                (t, c)
+                for t in tables_seen
+                if t != e.table_id
+                for c in cols_of[t]
+            ]
+            for a in new_cols:
+                for b in old_cols:
+                    if holds(a, b):
+                        stored.add((a, b))
+                    if holds(b, a):
+                        stored.add((b, a))
+    return {(a[0], a[1], b[0], b[1]) for (a, b) in stored}
+
+
 def entity_edges(
     entries: list[ParsedEntry],
     schema: dict[str, dict[str, OracleColumn]],

@@ -121,6 +121,7 @@ def fuzz_statements(seed: int) -> tuple[list[Stmt], list[str]]:
     id_values: dict[str, list[str]] = {t: [] for t in tables}
     cols_of: dict[str, list[str]] = {}
 
+    ins_cols: dict[str, list[str]] = {}
     for ti, t in enumerate(tables):
         id_kind = rng.choice(["seq", "seqpad", "seq", "dup"])
         tcols: dict[str, _ColSpec] = {"ID": _ColSpec(id_kind, rng)}
@@ -133,6 +134,22 @@ def fuzz_statements(seed: int) -> tuple[list[Stmt], list[str]]:
                             ("AMOUNT", "dup")):
             if rng.random() < 0.5:
                 tcols[extra] = _ColSpec(kind, rng)
+        ins_cols[t] = list(tcols)
+        # LATE-BORN column (round 4): never in any insert — introduced
+        # only by a later UPDATE on an already-existing table, the shape
+        # that exercises the reference's table-birth FK gate (a shallow
+        # previousSchema clone makes its column-level clauses vacuous —
+        # see inclusion_dependencies_eager). FK-shaped values when
+        # possible so inclusion actually holds and a wrong gate would
+        # change the schema dump.
+        if rng.random() < 0.4:
+            if ti > 0 and rng.random() < 0.6:
+                parent = tables[rng.randrange(ti)]
+                tcols["LATE"] = _ColSpec("fk", rng,
+                                         parent_ids=id_values[parent])
+            else:
+                tcols["LATE"] = _ColSpec(
+                    rng.choice(["dup", "state"]), rng)
         cols_of[t] = list(tcols)
         specs[t] = tcols
 
@@ -146,15 +163,19 @@ def fuzz_statements(seed: int) -> tuple[list[Stmt], list[str]]:
             ops: list[Stmt] = []
 
             def spawn() -> dict[str, str]:
-                st = {c: tcols[c].fresh(rng) for c in cols_of[t]}
+                st = {c: tcols[c].fresh(rng) for c in ins_cols[t]}
                 if "ID" in st:
                     id_values[t].append(st["ID"])
-                ops.append(_ins(t, rid, cols_of[t], list(st.values())))
+                ops.append(_ins(t, rid, ins_cols[t], list(st.values())))
                 return st
 
             state = spawn()
+            if "LATE" in tcols and rng.random() < 0.5:
+                v = tcols["LATE"].fresh(rng)
+                ops.append(_upd(t, rid, "LATE", v, "0"))
+                state["LATE"] = v
             for _ in range(rng.randint(0, 3)):
-                upd_pool = [c for c in cols_of[t]
+                upd_pool = [c for c in state
                             if c != "ID" or rng.random() < 0.15]
                 if not upd_pool:
                     continue
@@ -174,13 +195,13 @@ def fuzz_statements(seed: int) -> tuple[list[Stmt], list[str]]:
                 if roll < 0.35:
                     state = spawn()  # ROWID-reuse restart
                     if rng.random() < 0.5:
-                        c = rng.choice(cols_of[t])
+                        c = rng.choice(list(state))
                         new = tcols[c].next_update(rng, state[c])
                         if new != state[c]:
                             ops.append(_upd(t, rid, c, new, state[c]))
                 elif roll < 0.45:
                     # statement-after-delete restart via update
-                    c = rng.choice(cols_of[t])
+                    c = rng.choice(list(state))
                     ops.append(
                         _upd(t, rid, c, tcols[c].fresh(rng), state[c])
                     )

@@ -1,9 +1,12 @@
 """Documented divergence boundary: IND latching semantics.
 
 The reference computes inclusion dependencies eagerly after every entry
-and only ADDS a pair when one of its columns was created in that very
-step (SchemaDeriver.scala:69-93). An inclusion that becomes true LATER,
-when both columns already exist, is never added. This engine defaults to
+and only ADDS a pair when one of its TABLES was created in that very
+step (SchemaDeriver.scala:69-93 — previousSchema is a shallow clone, so
+the column-level clauses of the gate are vacuous; round-4 discovery,
+pinned against the binary below). An inclusion that becomes true LATER,
+when both tables already exist, is never added — including every pair
+involving a column born into an existing table. This engine defaults to
 FINAL-STATE inclusion (SURVEY.md §1.3.4, §7.2) and, since round 2, also
 offers ind_mode='eager' (inclusion_dependencies_eager) that reproduces
 the latched fold exactly — including on redo_log.txt, where the two
@@ -103,6 +106,86 @@ def test_eager_mode_latches_like_reference(spark):
     assert ('"S"."T1"', "A", '"S"."T2"', "B") in _inds(spark, born_good, "eager")
 
 
+def test_eager_gate_is_table_birth_not_column_birth(spark):
+    """Round-4 discovery, pinned against the in-sandbox binary:
+    previousSchema is a SHALLOW clone (SchemaExtractor.scala:28), so the
+    column-level `previousSchema(t).columns.contains` clauses of the
+    add-gate see post-mutation state and are vacuous — only TABLE birth
+    opens the gate. A column born into an EXISTING table by a later
+    update never gains FK targets and is never gained as one, even when
+    inclusion holds from its creation onward."""
+    stmts = [
+        ('insert into "S"."A2"("ID") values (\'1\');', "R1"),
+        ('insert into "S"."B2"("K") values (\'1\');', "S1"),
+        # NEW born into existing A2; NEW={1} ⊆ B2.K={1} holds from birth
+        ('update "S"."A2" set "NEW" = \'1\' where "NEW" = \'0\''
+         " and ROWID = 'R1';", "R1"),
+    ]
+    eager = _inds(spark, stmts, "eager")
+    final = _inds(spark, stmts, "final")
+    # the late column appears in neither direction under eager
+    assert ('"S"."A2"', "NEW", '"S"."B2"', "K") not in eager
+    assert ('"S"."B2"', "K", '"S"."A2"', "NEW") not in eager
+    # but both table-birth pairs survive
+    assert ('"S"."A2"', "ID", '"S"."B2"', "K") in eager
+    assert ('"S"."B2"', "K", '"S"."A2"', "ID") in eager
+    # final-state semantics do report the late column's inclusions
+    assert ('"S"."A2"', "NEW", '"S"."B2"', "K") in final
+
+
+def test_eager_gate_table_birth_matches_binary(spark, tmp_path):
+    """The same three probe logs that pinned the gate, replayed through
+    the ACTUAL reference binary (skips without the toolchain): our
+    eager console dump must match the binary's line sets on logs with
+    late-born columns, break-then-hold, and late columns in the new
+    table."""
+    import pytest
+    from refbin import ensure_reference_build, run_reference, parse_schema_dump
+
+    try:
+        cp = ensure_reference_build()
+    except RuntimeError as e:
+        pytest.skip(f"reference build failed: {e}")
+    if cp is None:
+        pytest.skip("Scala toolchain unavailable")
+
+    ts = lambda i: f"21-JUL-2020 16:29:{41 + i:02d}"  # noqa: E731
+    logs = {
+        "late_col": [
+            ('insert into "S"."A"("ID") values (\'1\');', "AAAROWIDAAAAAAAA01"),
+            ('insert into "S"."B"("K") values (\'1\');', "AAAROWIDAAAAAAAB01"),
+            ('update "S"."A" set "NEW" = \'1\' where "NEW" = \'0\''
+             " and ROWID = 'AAAROWIDAAAAAAAA01';", "AAAROWIDAAAAAAAA01"),
+        ],
+        "break_then_hold": [
+            ('insert into "S"."A"("ID") values (\'1\');', "AAAROWIDAAAAAAAA01"),
+            ('insert into "S"."B"("K") values (\'1\');', "AAAROWIDAAAAAAAB01"),
+            ('insert into "S"."B"("K") values (\'2\');', "AAAROWIDAAAAAAAB02"),
+            ('insert into "S"."A"("ID") values (\'2\');', "AAAROWIDAAAAAAAA02"),
+        ],
+        "late_col_new_table": [
+            ('insert into "S"."A"("ID") values (\'1\');', "AAAROWIDAAAAAAAA01"),
+            ('insert into "S"."B"("K") values (\'1\');', "AAAROWIDAAAAAAAB01"),
+            ('update "S"."B" set "K2" = \'1\' where "K2" = \'0\''
+             " and ROWID = 'AAAROWIDAAAAAAAB01';", "AAAROWIDAAAAAAAB01"),
+        ],
+    }
+    from redo_log_parser_spark.sources.logfile import read_log_files
+
+    for name, stmts in logs.items():
+        lines = []
+        for i, (stmt, rid) in enumerate(stmts):
+            lines += [stmt, f"{rid} {ts(i)}".ljust(80), ""]
+        log = str(tmp_path / f"{name}.log")
+        open(log, "w").write("\n".join(lines) + "\n")
+        ref_dump, _ = run_reference(log, "-", str(tmp_path / f"{name}.xes"))
+        events = uniquify_row_ids(parse_documents(read_log_files(spark, log)))
+        cols_df, ind_df = discover_schema(events, ind_mode="eager")
+        ours = summarize_schema(cols_df, ind_df).format_console()
+        a, b = parse_schema_dump(ref_dump), parse_schema_dump(ours)
+        assert a == b, (name, a, b)
+
+
 def test_eager_mode_drops_transient_violation_even_if_final_holds(spark):
     """Held at birth, broken mid-log, repaired by a delete: the reference
     removed the pair at the violation and never re-adds (both columns
@@ -184,18 +267,58 @@ def test_eager_vs_final_on_evaluation_artifact(spark):
     }
     eager, final = as_set(ind_eager), as_set(ind_final)
     assert eager <= final
-    # Pin the exact difference: five REVERSED inclusions (PK column ⊆
-    # the column that references it) that only converge once every
-    # entity has been referenced — precisely the late-inclusion class
-    # the reference's latch rejects. Eager keeps the 7 true-direction
-    # pairs; final-state adds these 5 spurious reversals.
-    assert final - eager == {
-        ('"SAMPLEDB"."BAND"', "BAND_ID", '"SAMPLEDB"."BAND_PLAYING"', "BAND_ID"),
-        ('"SAMPLEDB"."HALL"', "HALL_ID", '"SAMPLEDB"."CONCERT"', "HALL_ID"),
-        ('"SAMPLEDB"."SEAT"', "HALL_ID", '"SAMPLEDB"."CONCERT"', "HALL_ID"),
-        ('"SAMPLEDB"."SEAT"', "HALL_ID", '"SAMPLEDB"."HALL"', "HALL_ID"),
-        ('"SAMPLEDB"."SEAT"', "SEAT_ID", '"SAMPLEDB"."TICKET"', "BELONGS_TO"),
-    }, sorted(final - eager)
+    # Ground truth = oracle.eager_inds_replay, the set-level replay of
+    # the reference loop (validated against the actual binary on probe
+    # and fuzz logs — the binary itself cannot run this 8.5k-entry log
+    # through its per-entry O(tables!) permutation walk in sane time).
+    # Round 4 shrank eager from 7 to 4 pairs: TICKET.BELONGS_TO /
+    # TICKET.FOR_CONCERT / TICKET.PRICE are LATE-BORN columns (updates
+    # on existing TICKET rows), and the table-birth gate never admits
+    # them — the old column-birth model was a real divergence.
+    from redo_log_parser_spark import oracle
+
+    cfg_o = PipelineConfig(ts_format_java="yyyy-MM-dd HH:mm:ss")
+    lines = open(
+        "/root/reference/artifacts/evaluation_log.txt", encoding="utf-8"
+    ).read().splitlines()
+    replay = oracle.eager_inds_replay(
+        oracle.uniquify_row_ids(oracle.parse_log_lines(lines, cfg_o)))
+    assert eager == replay
+    assert eager == {
+        ('"SAMPLEDB"."BAND_PLAYING"', "BAND_ID",
+         '"SAMPLEDB"."BAND"', "BAND_ID"),
+        ('"SAMPLEDB"."BAND_PLAYING"', "CONCERT_ID",
+         '"SAMPLEDB"."CONCERT"', "CONCERT_ID"),
+        ('"SAMPLEDB"."BOOKING"', "CUSTOMER_ID",
+         '"SAMPLEDB"."CUSTOMER"', "CUSTOMER_ID"),
+        ('"SAMPLEDB"."HALL"', "HALL_ID", '"SAMPLEDB"."SEAT"', "HALL_ID"),
+    }
+    assert len(final - eager) == 8, sorted(final - eager)
+
+
+def test_eager_mode_matches_pure_python_replay_on_fuzz_logs(spark):
+    """ind_mode='eager' ≡ oracle.eager_inds_replay on random fuzz logs
+    (the new generator plants LATE-born columns, the exact shape the
+    table-birth gate rejects). The replay itself is binary-validated in
+    the diff-fuzz suite; this test needs no Scala toolchain."""
+    from fuzzgen import fuzz_records, records_to_documents
+    from redo_log_parser_spark import oracle
+    from redo_log_parser_spark.fixtures import _fmt_ts
+
+    for seed in (311, 422, 533):
+        records, _tables = fuzz_records(seed)
+        docs = spark.createDataFrame(records_to_documents(records))
+        events = uniquify_row_ids(parse_documents(docs))
+        _, ind_df = discover_schema(events, ind_mode="eager")
+        got = {
+            (r["table_id"], r["col"], r["ref_table"], r["ref_col"])
+            for r in ind_df.collect()
+        }
+        entries = oracle.uniquify_row_ids(oracle.parse_records(
+            [f"{s.statement}\n{s.row_id} {_fmt_ts(ts)}"
+             for s, ts in records]))
+        want = oracle.eager_inds_replay(entries)
+        assert got == want, (seed, sorted(got ^ want))
 
 
 def test_eager_mode_seamless_rewrite_is_not_a_violation(spark):

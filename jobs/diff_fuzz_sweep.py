@@ -70,6 +70,19 @@ def check_seed(spark, seed: int, d: str) -> list[str]:
         ) != parse_schema_dump(ref_strict):
             bad.append("schema_strict")
 
+        # round 4: byte-level dump parity via the pure-Python replica
+        # (table/column/FK-target ORDER included)
+        from redo_log_parser_spark import oracle
+        from redo_log_parser_spark.config import PipelineConfig
+
+        lines = open(log, encoding="utf-8").read().splitlines()
+        entries = oracle.uniquify_row_ids(
+            oracle.parse_log_lines(lines, PipelineConfig()))
+        if oracle.reference_console_dump(entries) != ref_plain:
+            bad.append("schema_plain_bytes")
+        if oracle.reference_console_dump(entries, strict=True) != ref_strict:
+            bad.append("schema_strict_bytes")
+
         from redo_log_parser_spark.sinks.xes import reference_trace_order
 
         order = reference_trace_order(events, root)

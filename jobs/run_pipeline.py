@@ -98,6 +98,14 @@ def main() -> int:
         help="print the discovered schema in the reference's console "
         "format (Table/Column.toString)",
     )
+    ap.add_argument(
+        "--reference-console-order", action="store_true",
+        help="with --print-schema: emit the dump in the reference "
+        "binary's exact byte order (Scala-HashMap table/column/"
+        "FK-target iteration, replayed in pure Python and cross-checked "
+        "against the engine's discovered sets); default sorts "
+        "deterministically",
+    )
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--no-resume", action="store_true",
@@ -123,6 +131,52 @@ def main() -> int:
     else:
         docs = read_documents(spark, args.input)
 
+    def _reference_order_dump(docs, cfg, strict, res):
+        """Byte-faithful reference console dump: pure-Python replay
+        (oracle.reference_console_dump — binary-validated) over the
+        collected log, cross-checked against the engine's discovered
+        sets when the CLI modes match the reference's semantics
+        (--eager-ind; --reference-monotonicity for strict)."""
+        from redo_log_parser_spark import oracle
+
+        # logfile-sourced docs carry no warc_ts column (the ts lives in
+        # the text chunk); their zero-padded urls alone give file order
+        order_cols = [c for c in ("warc_ts", "url") if c in docs.columns]
+        rows = (
+            docs.select(*order_cols, "text").orderBy(*order_cols).collect()
+        )
+        entries = oracle.uniquify_row_ids(
+            oracle.parse_records([r["text"] for r in rows], cfg))
+        dump = oracle.reference_console_dump(entries, strict=strict)
+
+        def canon(s):
+            out, cur = {}, None
+            for ln in s.splitlines():
+                if not ln.strip():
+                    continue
+                if ln.startswith("TABLE "):
+                    cur = ln[6:].strip()
+                    out.setdefault(cur, set())
+                    continue
+                ln = ln.rstrip()
+                m = "FK CANDIDATE FOR: "
+                if m in ln:
+                    head, tg = ln.split(m, 1)
+                    ln = head + m + " AND ".join(sorted(tg.split(" AND ")))
+                out[cur].add(ln)
+            return out
+
+        modes_match = cfg.eager_ind and (
+            not strict or cfg.reference_monotonicity
+        )
+        if modes_match:
+            ours = canon(res.schema.format_console(strict=strict))
+            assert canon(dump) == ours, (
+                "reference-order dump disagrees with the engine's "
+                "discovered schema — report this"
+            )
+        return dump
+
     if args.verbose:
         from redo_log_parser_spark.pipeline import print_verbose_entries
 
@@ -137,7 +191,10 @@ def main() -> int:
                 "\nExctracted the following database schema from "
                 "transformed log entries:"
             )
-            print(res.schema.format_console(strict=args.strict))
+            if args.reference_console_order:
+                print(_reference_order_dump(docs, cfg, args.strict, res))
+            else:
+                print(res.schema.format_console(strict=args.strict))
         print({"routed": res.routed_counts, "traces": res.n_traces})
         return 0
 

@@ -397,6 +397,92 @@ def eager_inds_replay(entries: list[ParsedEntry]) -> set[tuple[str, str, str, st
     return {(a[0], a[1], b[0], b[1]) for (a, b) in stored}
 
 
+def reference_console_dump(entries: list[ParsedEntry], strict: bool = False) -> str:
+    """BYTE-faithful replica of the reference's console schema dump
+    (cli/package.scala:55-66: `databaseSchema.map(_._2.toString)
+    .mkString("\\n\\n")` over Table.toString / Column.toString) —
+    including every Scala-HashMap iteration order the reference leaks:
+
+      * TABLE order: mutable.HashMap[String, Table] iteration over the
+        table ids (insertion = first appearance in the log) —
+        functions/scala_order._MutableHashTableReplica;
+      * COLUMN order per table: mutable.HashMap[String, Column]
+        iteration, whose insertion sequence itself follows each
+        statement's attribute-map iteration (FileParser builds
+        mutable.HashMap per statement in statement order; deletes
+        additionally pass through a `.filter(_ != ROWID)` REBUILD whose
+        new map re-hashes the survivors — replicated);
+      * FK-target order within a line: the stored isSubsetOf sequence
+        after the permutation walk. Every entry re-evaluates candidates
+        per permutation of schema.toSeq and rewrites the stored seq on
+        ANY list inequality (including pure reorders, via the
+        similarColumns filter), so after each entry the seq equals the
+        LAST head-X permutation's candidate order: other tables in
+        REVERSE map-iteration order, each table's columns in FORWARD
+        map order. Final dump order = that of the final schema.
+
+    PK markers: plain = canBePrimaryKey (sticky uniqueness); strict =
+    canBePrimaryKey && areValuesIncreasing && name-regex where the
+    increasing check is the shipped binary's VACUOUSLY-TRUE one
+    (Column.scala:104-124 cons-pattern; round-3 discovery). FK pairs =
+    eager_inds_replay (table-birth gate). Validated byte-for-byte
+    against the in-sandbox binary in
+    tests/test_reference_console_order.py."""
+    from .functions.scala_order import _MutableHashTableReplica
+
+    def map_order(keys: list[str]) -> list[str]:
+        ht = _MutableHashTableReplica()
+        for k in keys:
+            ht.add(k)
+        return ht.iteration_order()
+
+    schema = extract_schema(entries)
+    pairs = eager_inds_replay(entries)
+    table_seq: list[str] = []
+    col_seq: dict[str, list[str]] = {}
+    for e in entries:
+        if e.table_id not in col_seq:
+            table_seq.append(e.table_id)
+            col_seq[e.table_id] = []
+        if e.op == "insert":
+            cols = map_order(e.insert_cols)
+        elif e.op == "update":
+            cols = [e.upd_attr]
+        else:
+            original = map_order(e.delete_cols)
+            cols = map_order([c for c in original if c != "ROWID"])
+        seen = col_seq[e.table_id]
+        for c in cols:
+            if c not in seen:
+                seen.append(c)
+    t_order = map_order(table_seq)
+    c_order = {t: map_order(col_seq[t]) for t in t_order}
+
+    blocks = []
+    for t in t_order:
+        lines = [f"TABLE {t}"]
+        for c in c_order[t]:
+            col = schema[t][c]
+            if strict:
+                # areValuesIncreasing is constant-true in the binary
+                pk = (" (STRONG PRIMARY KEY)"
+                      if col.can_be_pk and col.name_like_pk() else "")
+            else:
+                pk = " (PRIMARY KEY)" if col.can_be_pk else ""
+            targets = [
+                f"{o}.{oc}"
+                for o in reversed(t_order)
+                if o != t
+                for oc in c_order[o]
+                if (t, c, o, oc) in pairs
+            ]
+            fk = ("FK CANDIDATE FOR: " + " AND ".join(targets)
+                  if targets else "")
+            lines.append(f"{c}{pk} {fk}")
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks)
+
+
 def entity_edges(
     entries: list[ParsedEntry],
     schema: dict[str, dict[str, OracleColumn]],

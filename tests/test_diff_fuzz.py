@@ -5,11 +5,13 @@ runs the actual reference implementation in-sandbox (tests/refbin.py —
 compiled from /root/reference sources, tests/fixtures/README.md), runs
 the Spark engine on the same file, and demands:
 
-- plain console schema dump: identical {table: column-line set}s
-  (eager IND = the reference's SchemaDeriver latch; order-free at the
-  table/column/FK-target levels — all Scala-HashMap artifacts)
-- strict console schema dump: identical, with mono_mode='reference'
-  (the shipped binary's vacuously-true increasing check)
+- plain console schema dump: identical {table: column-line set}s from
+  the Spark engine (eager IND = the reference's SchemaDeriver latch)
+  AND byte-identical full dumps from oracle.reference_console_dump
+  (round 4 — table/column/FK-target Scala-HashMap orders replicated,
+  no canonicalization left)
+- strict console schema dump: same two checks, with mono_mode=
+  'reference' (the shipped binary's vacuously-true increasing check)
 - .xes for a seed-chosen root: WHOLE-FILE byte equality, plain AND
   --includeUpdateValues (round 4: our .xes is emitted with
   reference_trace_order, which replays the binary's seeded random
@@ -62,6 +64,21 @@ def _assert_schema_dumps_equal(ours: str, ref: str, label: str) -> None:
     assert set(a) == set(b), (label, set(a) ^ set(b))
     for t in a:
         assert a[t] == b[t], (label, t, a[t] ^ b[t])
+
+
+def _assert_console_bytes_equal(log: str, ref: str, strict: bool,
+                                label: str) -> None:
+    """Round 4: the pure-Python replica (oracle.reference_console_dump)
+    must reproduce the binary's dump BYTE-for-byte — table order,
+    column order and FK-target order included."""
+    from redo_log_parser_spark import oracle
+    from redo_log_parser_spark.config import PipelineConfig
+
+    lines = open(log, encoding="utf-8").read().splitlines()
+    entries = oracle.uniquify_row_ids(
+        oracle.parse_log_lines(lines, PipelineConfig()))
+    got = oracle.reference_console_dump(entries, strict=strict)
+    assert got == ref, (label, "console dump bytes diverge")
 
 
 def _assert_xes_equal(ours: str, ref: str, label: str) -> None:
@@ -223,12 +240,15 @@ def test_fuzz_matches_reference(spark, tmp_path, ref_cp, seed):
         schema = summarize_schema(cols, ind)
         _assert_schema_dumps_equal(
             schema.format_console(), ref_plain, f"seed={seed} plain")
+        _assert_console_bytes_equal(log, ref_plain, False, f"seed={seed}")
 
         cols_s, ind_s = discover_schema(
             events, strict=True, ind_mode="eager", mono_mode="reference")
         _assert_schema_dumps_equal(
             summarize_schema(cols_s, ind_s).format_console(strict=True),
             ref_strict, f"seed={seed} strict")
+        _assert_console_bytes_equal(
+            log, ref_strict, True, f"seed={seed} strict")
 
         _assert_xes_equal(
             _our_xes(events, schema, root, str(tmp_path / "o1.xes"), False),

@@ -54,6 +54,7 @@ def headline_queries():
         q_dedup_components,
         q_dedup_exact,
         q_minhash_pairs,
+        q_multimodal_ann,
         q_rowid_incarnation,
         q_schema_discovery,
         q_token_pack,
@@ -111,6 +112,10 @@ def headline_queries():
         "token_pack": q_token_pack,
         "ann_cosine": q_ann_cosine,
         "decontaminate": q_decontaminate,
+        # round 4: the binary -> mapInPandas fake-decode -> feature ->
+        # LSH cosine path, so the Python-worker/Arrow boundary is
+        # represented in the headline set beyond the flagship parse
+        "multimodal_ann": q_multimodal_ann,
     }
 
 

@@ -1679,8 +1679,17 @@ def q_multimodal_ann(spark, sf_dir):
     feats = meta.select(
         F.col("media_id").cast("bigint").alias("vec_id"),
         F.col("feature").alias("embedding"),
+    ).cache()  # the pair op reads this 3x (dim probe + both join sides)
+    # — without the cache the Python decode re-runs each time
+    # center_rows: sha256 features are positive-only (near-diagonal),
+    # which collapses raw sign-LSH onto a few huge buckets (1.4M
+    # candidate pairs at sf0.1); per-row mean-centering before the
+    # projection rebalances to ~uniform 2^8 cells (~49k pairs) with
+    # IDENTICAL output — only exact-duplicate pairs clear the 0.999
+    # threshold, and identical vectors still share every bucket
+    return SIM.embedding_near_dup_pairs(
+        feats, threshold=0.999, n_planes=8, center_rows=True
     )
-    return SIM.embedding_near_dup_pairs(feats, threshold=0.999, n_planes=6)
 
 
 _MM_FEAT = ", ".join(

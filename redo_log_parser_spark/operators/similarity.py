@@ -121,14 +121,38 @@ def py_lsh_signature(vec, planes) -> int:
 
 def with_lsh_bucket(
     emb: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", center_rows: bool = False,
 ) -> DataFrame:
+    """center_rows: subtract each vector's OWN mean before the sign
+    projection (bucketing only — downstream cosine still sees the raw
+    vectors). Positive-only feature vectors (image/audio activations,
+    hash-derived features) all point near the all-ones diagonal, so
+    raw sign-LSH buckets collapse onto a few huge cells — at sf0.1 the
+    sha256 fake features put 1.4M of 12.6M possible pairs into
+    same-bucket candidates at 8 planes; row-centering rebalances the
+    signs to fair coins (~uniform 2^n_planes cells, ~49k pairs, 30x
+    less join work) while identical vectors still bucket identically
+    (the transform is per-row deterministic). Pure projection: no
+    corpus aggregate, no extra job."""
     planes = _hyperplanes(dim, n_planes, seed)
+    base = _matrix_col(emb, planes, "__planes")
     v = F.col(vec_col).cast("array<double>")
+    if center_rows:
+        # stage mean and centered vector as NAMED columns — the sig
+        # fold references the vector n_planes times and interpreted
+        # lambdas get no CSE (PLANS.md §10)
+        base = base.withColumn(
+            "__vmean",
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v),
+        ).withColumn(
+            "__vcent", F.transform(v, lambda x: x - F.col("__vmean"))
+        )
+        sig_input = F.col("__vcent")
+    else:
+        sig_input = v
     return (
-        _matrix_col(emb, planes, "__planes")
-        .withColumn("lsh_bucket", _sig_from_planes(v, F.col("__planes")))
-        .drop("__planes")
+        base.withColumn("lsh_bucket", _sig_from_planes(sig_input, F.col("__planes")))
+        .drop("__planes", "__vmean", "__vcent")
     )
 
 
@@ -258,18 +282,27 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    center_rows: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
     same-LSH-bucket pairs (high-cosine pairs collide with high
     probability; recall tunable via n_planes)."""
     # infer dim from one row (tiny driver action)
     dim = len(emb.select(vec_col).first()[0])
-    # cast ONCE into the named column the pair join carries — cosine
-    # references each side twice (dot + norm), and inline casts would
-    # re-convert the array per reference (PLANS.md §10)
-    bucketed = with_lsh_bucket(emb, dim, n_planes, seed, vec_col).select(
-        id_col, F.col(vec_col).cast("array<double>").alias(vec_col), "lsh_bucket"
-    )
+    # cast ONCE into the named column the pair join carries (inline
+    # casts would re-convert per reference, PLANS.md §10), and compute
+    # each vector's NORM once per ROW here — the pair join evaluates
+    # cosine per PAIR, so an inline norm would re-fold the O(dim)
+    # aggregate ~|bucket| times per vector (round 4: measured 7.7 →
+    # 2.x s on the multimodal_ann bench query). Same float ops in the
+    # same order, just hoisted — values are bit-identical.
+    bucketed = with_lsh_bucket(
+        emb, dim, n_planes, seed, vec_col, center_rows=center_rows
+    ).select(
+        id_col,
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        "lsh_bucket",
+    ).withColumn("__nrm", _norm(F.col(vec_col)))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (
@@ -279,7 +312,9 @@ def embedding_near_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
-                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+                _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__nrm") * F.col("b.__nrm")),
+                6,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -10,14 +10,16 @@ sf0.1 tables (TESTDATA.md) — reproducible bit-for-bit with this job:
 
   python jobs/make_sf1.py [--out /root/repo/testdata_sf1]
 
-Only the three tables bench.py consumes are scaled:
+Only the four tables bench.py consumes are scaled:
 
   orders      1.5M rows: o_orderkey' = o_orderkey*10 + r (keeps the %3
               op mix and the 12-char url padding), o_orderdate' += r
               minutes (per-entity insert<update<delete day gaps keep
               the (warc_ts, url) == statement-order invariant).
   documents   50k rows: doc_id' = doc_id*10 + r; replica r>0 suffixes
-              every token with _r (space -> '_r '), so replicas share
+              every space-followed token with _r (space -> '_r '; the
+              final token keeps no suffix, which still leaves every
+              n>=2 shingle disjoint), so replicas share
               ZERO shingles with each other or the original — the
               near-dup/collision structure of sf0.1 is copied 10x
               DISJOINTLY and pair volume scales linearly (suffixing

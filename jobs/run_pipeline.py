@@ -171,10 +171,15 @@ def main() -> int:
         )
         if modes_match:
             ours = canon(res.schema.format_console(strict=strict))
-            assert canon(dump) == ours, (
-                "reference-order dump disagrees with the engine's "
-                "discovered schema — report this"
-            )
+            # explicit raise, not assert: this guard must survive
+            # python -O / PYTHONOPTIMIZE (a divergence here means the
+            # byte-faithful replica and the engine disagree — never
+            # print an unflagged wrong dump)
+            if canon(dump) != ours:
+                raise ValueError(
+                    "reference-order dump disagrees with the engine's "
+                    "discovered schema — report this"
+                )
         return dump
 
     if args.verbose:

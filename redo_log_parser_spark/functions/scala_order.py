@@ -21,10 +21,16 @@ the Scala 2.12 source):
     prepends updates, and its iterator reverses the backing list).
 
 For 1-4 distinct keys `groupBy` yields scala.collection.immutable
-Map1..Map4, which iterate in the order the groupBy builder inserted —
-i.e. the iteration order of the INTERNAL mutable map, replicated here
-as well (byteswap32 seed-rotated bucket index, per-bucket prepend,
-high-bucket-first iteration: mutable/HashTable.scala).
+Map1..Map4, which iterate in insertion order — and the OBSERVED order
+on this toolchain is FIRST-APPEARANCE of the keys (probed directly:
+30/30 randomized 2-4-key `groupBy` runs against the in-sandbox
+2.12.19 compiler match first-appearance). scala212_groupby_order
+returns exactly that for <=4 keys; the mutable-HashTable replica
+(byteswap32 seed-rotated bucket index, per-bucket prepend,
+high-bucket-first iteration: mutable/HashTable.scala) is used ONLY as
+the collision tie-break in the >4-key HAMT regime. Do not "fix" the
+<=4 branch to walk the mutable map — that would break byte parity on
+small root tables; see scala212_groupby_order's docstring.
 
 Validated against the actual reference toolchain: the in-sandbox
 Scala 2.12.19 probe (tests/test_reference_trace_order.py) compares this

@@ -63,17 +63,32 @@ def write_xes_document(
             fh.write('<?xml version="1.0" encoding="UTF-8"?>\n')
             fh.write(xes_log_header(root_table))
         if case_order is not None:
-            by_case = {
-                r["case_id"]: r["trace_xml"]
-                for r in traces_xml.select("case_id", "trace_xml").collect()
-            }
-            missing = set(by_case) - set(case_order)
-            if missing:
+            collected = traces_xml.select("case_id", "trace_xml").collect()
+            by_case = {r["case_id"]: r["trace_xml"] for r in collected}
+            # both directions are replica-divergence signals, not
+            # conditions to paper over: a duplicate case_id would
+            # silently collapse into one dict entry (undercounting n),
+            # and a stale/extra id in the replayed order would silently
+            # skip — raise instead so a build_traces_df or trace-order
+            # regression is flagged at the sink
+            if len(by_case) != len(collected):
+                from collections import Counter
+                dups = [c for c, k in Counter(
+                    r["case_id"] for r in collected).items() if k > 1]
                 raise ValueError(
-                    f"case_order is missing {len(missing)} case ids, "
-                    f"e.g. {sorted(missing)[:3]}"
+                    f"traces_xml carries duplicate case ids, e.g. "
+                    f"{sorted(dups)[:3]} — one trace per case expected"
                 )
-            rows = ({"trace_xml": by_case[c]} for c in case_order if c in by_case)
+            missing = set(by_case) - set(case_order)
+            extra = set(case_order) - set(by_case)
+            if missing or extra:
+                raise ValueError(
+                    f"case_order disagrees with the data: "
+                    f"{len(missing)} case ids absent from the order "
+                    f"(e.g. {sorted(missing)[:3]}), {len(extra)} order "
+                    f"entries absent from the data (e.g. {sorted(extra)[:3]})"
+                )
+            rows = ({"trace_xml": by_case[c]} for c in case_order)
         else:
             rows = (
                 traces_xml.select("case_id", "trace_xml")

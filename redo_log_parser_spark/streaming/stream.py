@@ -102,8 +102,10 @@ def streaming_lsh_near_dedup(
     text_col: str = "text",
 ) -> DataFrame:
     """Streaming MinHash-LSH NEAR-dup dedup: returns the surviving
-    band-key stream (id, ts, band, bucket, n_bands); bind it to a sink
-    with foreachBatch + `lsh_survivors` for the per-doc keep/drop set.
+    band-key stream (id, ts, band, bucket, keys) — `keys` is the
+    manifest band-key array, non-null only on each doc's manifest row
+    (band -1); bind it to a sink with foreachBatch + `lsh_survivors`
+    for the per-doc keep/drop set.
 
     Semantics — the standard LSH candidate rule applied greedily in
     arrival order: a doc is a near-dup (dropped) iff ANY of its `bands`
@@ -206,16 +208,25 @@ def lsh_survivors(
     )
     keyed = docs.select("dk")
     a, b = ex.alias("a"), ex.alias("b")
+    # cached: isEmpty() and (on colliding batches) dedup_components'
+    # edge materialization both consume it — without the cache every
+    # colliding micro-batch pays the manifest explode + band self-join +
+    # distinct twice. Safe to drop right after dedup_components returns:
+    # its result frame reads from the checkpointed label frame, not from
+    # the pair lineage.
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.dk") < F.col("b.dk"))
         .select(F.col("a.dk").alias("id_a"), F.col("b.dk").alias("id_b"))
         .distinct()
+        .cache()
     )
     if pairs.isEmpty():
+        pairs.unpersist()
         surv = keyed.join(touched, "dk", "left_anti")
     else:
         comp = dedup_components(keyed, pairs, id_col="dk")
+        pairs.unpersist()
         bad = (
             comp.join(touched, "dk", "left_semi")
             .select("component_id")

@@ -53,7 +53,12 @@ class _ColSpec:
         self.base = rng.randrange(0, 5000)
         self.width = rng.choice([3, 4])
         self.small = rng.randrange(2, 9)
-        self.parent_ids = parent_ids or []
+        # Keep the SHARED list reference: id_values[parent] is empty at
+        # construction and is appended to as parent rows spawn — `or []`
+        # would freeze an empty private copy and every fk draw would hit
+        # the "0" fallback (round-4 review finding: 1365/1365 fk values
+        # were "0", silently defeating the FK-shaped fuzz coverage).
+        self.parent_ids = parent_ids if parent_ids is not None else []
         self.counter = 0
 
     def fresh(self, rng: random.Random) -> str:

@@ -258,3 +258,38 @@ def test_fuzz_matches_reference(spark, tmp_path, ref_cp, seed):
             ref_xes_upd, f"seed={seed} xes updvals")
     finally:
         events.unpersist()
+
+
+def test_fuzzgen_fk_values_draw_from_parent_pools():
+    """Generator property (round-4 review regression pin): fk-kind
+    columns must draw from the LIVE parent ID pool, not collapse to the
+    "0" fallback — `parent_ids or []` once froze a private empty list
+    (the shared pool is empty at _ColSpec construction) and 1365/1365
+    fk values were "0", silently voiding the late-born-FK coverage of
+    the table-birth gate. Pure generator check, no Spark/binary."""
+    import re as _re
+
+    from fuzzgen import fuzz_statements
+
+    fkvals: list[str] = []
+    for seed in range(13000, 13020):
+        stmts, _tables = fuzz_statements(seed)
+        for s in stmts:
+            m = _re.match(
+                r'insert into "SYSTEM"\."\w+"\(([^)]*)\) values \((.*)\);',
+                s.statement)
+            if m:
+                cols = [c.strip('"') for c in m.group(1).split(",")]
+                vals = [v.strip("'") for v in m.group(2).split(",")]
+                fkvals += [v for c, v in zip(cols, vals) if c.endswith("_ID")]
+            m2 = _re.match(
+                r'update "SYSTEM"\."\w+" set "(\w+_ID)" = \'([^\']*)\'',
+                s.statement)
+            if m2:
+                fkvals.append(m2.group(2))
+    assert fkvals, "no fk-kind columns generated across 20 seeds"
+    distinct = set(fkvals)
+    # real pools are seq/seqpad/dup draws — far more than the lone
+    # fallback value; >=10 distinct proves the shared pool is live
+    assert len(distinct) >= 10, f"fk values collapsed: {sorted(distinct)}"
+    assert distinct != {"0"}

@@ -16,6 +16,8 @@ Cross-engine equality rules used throughout:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1684,11 +1686,21 @@ def q_multimodal_ann(spark, sf_dir):
     # center_rows: sha256 features are positive-only (near-diagonal),
     # which collapses raw sign-LSH onto a few huge buckets (1.4M
     # candidate pairs at sf0.1); per-row mean-centering before the
-    # projection rebalances to ~uniform 2^8 cells (~49k pairs) with
-    # IDENTICAL output — only exact-duplicate pairs clear the 0.999
-    # threshold, and identical vectors still share every bucket
+    # projection rebalances to ~uniform 2^planes cells with IDENTICAL
+    # output — only exact-duplicate pairs clear the 0.999 threshold,
+    # and identical vectors still share every bucket.
+    # SCALE-AWARE plane count: cells must grow with the corpus or
+    # per-bucket pair volume grows quadratically (at 50k docs a fixed
+    # 2^8 grid costs ~4.8M candidate pairs and 22.8 s; 2^14 the same
+    # 105-pair output in 7.0 s, round-4 measurement). Target ~4 docs
+    # per cell; exact-dup recall is plane-count-independent (identical
+    # vectors share every bucket), and at the driver's sf0.01 (525
+    # docs) the formula reproduces the original 8 planes, so the
+    # oracle-parity regime is byte-unchanged.
+    n_docs = feats.count()  # one job over the already-cached frame
+    planes = max(8, math.ceil(math.log2(max(n_docs, 2) / 4)))
     return SIM.embedding_near_dup_pairs(
-        feats, threshold=0.999, n_planes=8, center_rows=True
+        feats, threshold=0.999, n_planes=planes, center_rows=True
     )
 
 

@@ -286,7 +286,17 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
     same-LSH-bucket pairs (high-cosine pairs collide with high
-    probability; recall tunable via n_planes)."""
+    probability; recall tunable via n_planes).
+
+    The per-row (bucket, norm) frame is CACHED: the self-join consumes
+    it on both sides, and AQE does not reuse the exchange across the
+    aliases, so without the cache the interpreted sign-projection
+    (n_planes folds over dim elements per row — no codegen for
+    higher-order functions) runs twice over the corpus and dominates
+    (round-4 measurement at 50k×16-dim×14 planes: 7.3 s → 0.5 s
+    cached). Cache lives until the caller clears it (bench.py
+    clearCache()s between queries), same lifecycle as
+    ngram_jaccard_pairs' base cache."""
     # infer dim from one row (tiny driver action)
     dim = len(emb.select(vec_col).first()[0])
     # cast ONCE into the named column the pair join carries (inline
@@ -302,7 +312,7 @@ def embedding_near_dup_pairs(
         id_col,
         F.col(vec_col).cast("array<double>").alias(vec_col),
         "lsh_bucket",
-    ).withColumn("__nrm", _norm(F.col(vec_col)))
+    ).withColumn("__nrm", _norm(F.col(vec_col))).cache()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (

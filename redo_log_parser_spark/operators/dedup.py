@@ -135,6 +135,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    hash_index: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets via inverted index:
     (id_a, id_b, jaccard) for unordered pairs ≥ threshold.
@@ -143,6 +144,16 @@ def ngram_jaccard_pairs(
     shingle never pair), one pair-count agg, two size joins. The
     per-doc dedup and set sizes are ROW-SIDE (array_distinct + size on
     the cached array frame) — no distinct shuffle, no sizes groupBy.
+
+    `hash_index` (default True): the inverted index joins on
+    xxhash64(shingle) instead of the shingle STRING — same exchanges,
+    ~40% less wall (round-4 sf1 A/B: 6.1-7.4 s → 3.7-4.8 s, identical
+    2,560 pairs; fixed-width bigint keys shuffle, sort and compare
+    cheaper than ~25-byte UTF8 shingles). Two distinct shingles
+    colliding would inflate one pair's n_common by 1 — probability
+    ≈ m²/2^65 for m distinct shingles (1.8e-7 at sf1's 2.6M; the
+    minhash/simhash paths already accept the same hash). Set False for
+    string-exact semantics.
 
     `max_df` (corpus-scale knob, default off): shingles appearing in
     more than max_df docs are dropped from the index BEFORE the join,
@@ -161,18 +172,24 @@ def ngram_jaccard_pairs(
     (bench.py does; unreferenced entries are also reclaimed by the
     ContextCleaner on GC)."""
     base = with_shingle_set(docs, n, text_col).select(id_col, "shs")
+
+    def _index(frame: DataFrame) -> DataFrame:
+        ix = frame.select(F.col(id_col), F.explode("shs").alias("shingle"))
+        if hash_index:
+            # hash AFTER the explode: a plain codegen'd projection, not
+            # an interpreted transform() inside the array
+            ix = ix.select(id_col, F.xxhash64("shingle").alias("shingle"))
+        return ix
+
     if max_df is not None:
         # base is consumed once here (retained-set sizes come from the
         # post-drop index) — caching it would pin every doc's shingle
         # array for zero reuse; cache the filtered index instead
-        sh = _drop_hot_shingles(
-            base.select(F.col(id_col), F.explode("shs").alias("shingle")),
-            max_df,
-        ).cache()
+        sh = _drop_hot_shingles(_index(base), max_df).cache()
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     else:
         base = base.cache()  # read twice: the index explode and sizes
-        sh = base.select(F.col(id_col), F.explode("shs").alias("shingle"))
+        sh = _index(base)
         sizes = base.select(id_col, F.size("shs").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -381,3 +381,16 @@ def test_minhash_per_doc_frame_is_projection_only(docs):
     )
     plan = per_doc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ngram_jaccard_hash_index_parity(docs):
+    """hash_index=True (default, bigint inverted index) must produce
+    the exact pair set and jaccard values of the string-keyed index —
+    a 64-bit collision is the only way they can differ (p ≈ m²/2^65)."""
+    kw = dict(n=3, threshold=0.3)
+    hashed = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in D.ngram_jaccard_pairs(docs, **kw).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(
+                 docs, hash_index=False, **kw).collect()}
+    assert hashed == exact and hashed

@@ -579,7 +579,14 @@ def simhash_near_dups(
     `max_bucket_size` (corpus-scale knob, default off): see _cap_buckets.
     Note capping voids the pigeonhole *guarantee* for pairs inside
     dropped buckets — bounded pairs vs exactness, observable via the
-    lsh_dropped_rows metric."""
+    lsh_dropped_rows metric.
+
+    The banded frame is CACHED before the self-join: `fps` is normally
+    the simhash aggregate (explode + 64-vote groupBy), and the join's
+    two aliases would otherwise evaluate it twice — AQE does not reuse
+    the exchange across self-join aliases (round-4 sf1 A/B: 2.85 s →
+    0.87-1.54 s warm, identical 7,054 pairs). Same cache lifecycle as
+    ngram_jaccard_pairs (caller clears between invocations if needed)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     banded = fps.select(
@@ -601,6 +608,7 @@ def simhash_near_dups(
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, max_bucket_size)
+    banded = banded.cache()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

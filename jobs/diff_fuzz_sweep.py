@@ -37,23 +37,36 @@ from redo_log_parser_spark.sinks.xes import write_xes_document  # noqa: E402
 from redo_log_parser_spark.sources.logfile import read_log_files  # noqa: E402
 
 
-def check_seed(spark, seed: int, d: str) -> list[str]:
+_TS_STYLE_PATTERN = {  # ts_style -> (--timestampPattern arg, engine cfg arg)
+    "default": ("", ""),
+    "mixedcase": ("", ""),  # default pattern parses months case-insensitively
+    "iso": ("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm:ss"),
+}
+
+
+def check_seed(spark, seed: int, d: str, ts_style: str = "default") -> list[str]:
     """Return list of divergence labels (empty = clean)."""
     import re
+
+    from redo_log_parser_spark.config import PipelineConfig
+
     trace_re = re.compile(r"[ ]*<trace>.*?</trace>", re.S)
     log = os.path.join(d, f"fuzz_{seed}.log")
-    tables = write_fuzz_log(seed, log)
+    tables = write_fuzz_log(seed, log, ts_style=ts_style)
     root = tables[seed % len(tables)]
     bad: list[str] = []
+    pat, cfg_fmt = _TS_STYLE_PATTERN[ts_style]
+    cfg = PipelineConfig(ts_format_java=cfg_fmt) if cfg_fmt else PipelineConfig()
 
-    ref_plain, ref_xes = run_reference(log, root, os.path.join(d, "r1.xes"))
+    ref_plain, ref_xes = run_reference(log, root, os.path.join(d, "r1.xes"),
+                                       ts_pattern=pat)
     ref_strict, _ = run_reference(log, "-", os.path.join(d, "r2.xes"),
-                                  strict=True)
+                                  ts_pattern=pat, strict=True)
     _, ref_xes_upd = run_reference(log, root, os.path.join(d, "r3.xes"),
-                                   updvals=True)
+                                   ts_pattern=pat, updvals=True)
 
     docs = read_log_files(spark, log)
-    events = uniquify_row_ids(parse_documents(docs)).cache()
+    events = uniquify_row_ids(parse_documents(docs, cfg=cfg)).cache()
     try:
         if events.filter("parse_error is not null").count():
             bad.append("parse_error")
@@ -73,11 +86,10 @@ def check_seed(spark, seed: int, d: str) -> list[str]:
         # round 4: byte-level dump parity via the pure-Python replica
         # (table/column/FK-target ORDER included)
         from redo_log_parser_spark import oracle
-        from redo_log_parser_spark.config import PipelineConfig
 
         lines = open(log, encoding="utf-8").read().splitlines()
         entries = oracle.uniquify_row_ids(
-            oracle.parse_log_lines(lines, PipelineConfig()))
+            oracle.parse_log_lines(lines, cfg))
         if oracle.reference_console_dump(entries) != ref_plain:
             bad.append("schema_plain_bytes")
         if oracle.reference_console_dump(entries, strict=True) != ref_strict:
@@ -113,6 +125,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--start", type=int, default=1000)
     ap.add_argument("--count", type=int, default=60)
+    ap.add_argument("--ts-style", choices=sorted(_TS_STYLE_PATTERN),
+                    default="default",
+                    help="timestamp rendering axis: default pattern, "
+                    "per-record mixed month casing, or ISO + "
+                    "--timestampPattern on both sides")
     args = ap.parse_args()
 
     assert ensure_reference_build() is not None, "reference build unavailable"
@@ -126,7 +143,7 @@ def main() -> int:
     with tempfile.TemporaryDirectory() as d:
         for seed in range(args.start, args.start + args.count):
             try:
-                bad = check_seed(spark, seed, d)
+                bad = check_seed(spark, seed, d, ts_style=args.ts_style)
             except Exception:
                 errors[seed] = traceback.format_exc(limit=3)
                 print(f"seed {seed}: ERROR\n{errors[seed]}", flush=True)
@@ -136,7 +153,8 @@ def main() -> int:
             print(f"seed {seed}: {'DIVERGED ' + ','.join(bad) if bad else 'ok'}",
                   flush=True)
 
-    print(f"\nswept {args.count} seeds from {args.start}: "
+    print(f"\nswept {args.count} seeds from {args.start} "
+          f"(ts_style={args.ts_style}): "
           f"{len(failures)} diverged, {len(errors)} errored")
     for s, b in failures.items():
         print(f"  seed {s}: {b}")

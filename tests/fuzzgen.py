@@ -239,13 +239,38 @@ def fuzz_records(
     return records, tables
 
 
-def render_log(records: list[tuple[Stmt, datetime]]) -> str:
+def _fmt_ts_styled(ts: datetime, i: int, ts_style: str) -> str:
+    """Render one timestamp under a style axis (per-record deterministic):
+    'default' = the reference's dd-MMM-yyyy with UPPER month;
+    'mixedcase' = same pattern, month casing rotates upper/lower/title
+    (the reference formatter is parseCaseInsensitive,
+    parser/package.scala:13-16);
+    'iso' = yyyy-MM-dd HH:mm:ss (run the binary with --timestampPattern
+    'yyyy-MM-dd HH:mm:ss' and the engine with the matching
+    ts_format_java)."""
+    if ts_style == "iso":
+        return ts.strftime("%Y-%m-%d %H:%M:%S")
+    if ts_style == "mixedcase":
+        mon = ts.strftime("%b")
+        styled = (mon.upper(), mon.lower(), mon)[i % 3]
+        return ts.strftime("%d-%b-%Y %H:%M:%S").replace(mon, styled)
+    if ts_style == "default":
+        return _fmt_ts(ts)
+    raise ValueError(f"unknown ts_style {ts_style!r}")
+
+
+def render_log(
+    records: list[tuple[Stmt, datetime]], ts_style: str = "default"
+) -> str:
     """Reference file layout: 2-line chunks + whitespace-only separator
     lines, trailing-space noise."""
     out: list[str] = []
     for i, (s, ts) in enumerate(records):
         out.append(s.statement + " " * (i % 3))
-        out.append(f"{s.row_id} {' ' * (i % 2)}{_fmt_ts(ts)}".ljust(80))
+        out.append(
+            f"{s.row_id} {' ' * (i % 2)}{_fmt_ts_styled(ts, i, ts_style)}"
+            .ljust(80)
+        )
         out.append(" " * (i % 2))
     return "\n".join(out) + "\n"
 
@@ -270,9 +295,9 @@ def records_to_documents(records: list[tuple[Stmt, datetime]]):
     return pd.DataFrame(rows)
 
 
-def write_fuzz_log(seed: int, path: str) -> list[str]:
+def write_fuzz_log(seed: int, path: str, ts_style: str = "default") -> list[str]:
     """Generate, render and write the seed's log; return its table ids."""
     records, tables = fuzz_records(seed)
     with open(path, "w", encoding="utf-8") as f:
-        f.write(render_log(records))
+        f.write(render_log(records, ts_style))
     return tables

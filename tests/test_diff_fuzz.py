@@ -293,3 +293,46 @@ def test_fuzzgen_fk_values_draw_from_parent_pools():
     # fallback value; >=10 distinct proves the shared pool is live
     assert len(distinct) >= 10, f"fk values collapsed: {sorted(distinct)}"
     assert distinct != {"0"}
+
+
+@pytest.mark.parametrize("ts_style,pat", [
+    ("iso", "yyyy-MM-dd HH:mm:ss"),
+    ("mixedcase", ""),
+])
+def test_fuzz_ts_style_matches_reference(spark, tmp_path, ref_cp,
+                                         ts_style, pat):
+    """Timestamp-axis fuzz (round 4): the same seed rendered with an
+    alternate --timestampPattern (iso) or per-record mixed month casing
+    must byte-match the binary on schema dump + whole-file .xes. Wider
+    sweeps via jobs/diff_fuzz_sweep.py --ts-style (ledger FIXTURES §3b)."""
+    from redo_log_parser_spark.config import PipelineConfig
+
+    seed = 16000
+    log = str(tmp_path / "fuzz_ts.log")
+    tables = write_fuzz_log(seed, log, ts_style=ts_style)
+    root = tables[seed % len(tables)]
+    cfg = PipelineConfig(ts_format_java=pat) if pat else PipelineConfig()
+
+    ref_plain, ref_xes = run_reference(
+        log, root, str(tmp_path / "r.xes"), ts_pattern=pat)
+
+    docs = read_log_files(spark, log)
+    events = uniquify_row_ids(parse_documents(docs, cfg=cfg)).cache()
+    try:
+        assert events.filter("parse_error is not null").count() == 0
+        cols, ind = discover_schema(events, ind_mode="eager")
+        schema = summarize_schema(cols, ind)
+        _assert_schema_dumps_equal(
+            schema.format_console(), ref_plain, f"{ts_style} plain")
+
+        from redo_log_parser_spark import oracle
+        lines = open(log, encoding="utf-8").read().splitlines()
+        entries = oracle.uniquify_row_ids(oracle.parse_log_lines(lines, cfg))
+        assert oracle.reference_console_dump(entries) == ref_plain, (
+            ts_style, "console dump bytes diverge")
+
+        _assert_xes_equal(
+            _our_xes(events, schema, root, str(tmp_path / "o.xes"), False),
+            ref_xes, f"{ts_style} xes")
+    finally:
+        events.unpersist()

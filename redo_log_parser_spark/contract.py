@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as TXT
 from .functions.parse import parse_documents
+from .functions.parse_sql import parse_documents_sql
 from .functions.xes import trace_xml, xes_event_name, xes_timestamp
 from .operators import dedup as DD
 from .operators import similarity as SIM
@@ -149,8 +150,20 @@ _SQL_SYNTH_MIXED = """
 # ------------------------------------------------------------- queries
 # P3 route-by-op over synthesized mixed statements
 def q_route_counts(spark, sf_dir):
-    docs = synth_mixed_docs(spark, sf_dir)
-    parsed = parse_documents(docs, keep_cols=("url", "warc_ts", "okey"))
+    # JVM parser: this query prunes the parse to ONE column (op), and
+    # each parse_sql output column is an independent expression — unused
+    # regexps never run, so the JVM path wins exactly here (sf1
+    # interleaved A/B: 3.4-3.9 s vs 4.3 s pandas, which computes every
+    # column regardless — PLANS §14). Parity with the pandas byte-parity
+    # kernel is pinned by tests/test_parse_hostile.py + the fuzz sweeps;
+    # the parse_* queries keep the pandas kernel as the parse oracle.
+    # The repartition = parse parallelism on the coalesced synth union +
+    # the PLANS §10 projection barrier (keeps the synthetic text concat
+    # out of the parser's regexp trees).
+    docs = synth_mixed_docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    parsed = parse_documents_sql(docs, keep_cols=("url", "warc_ts", "okey"))
     return parsed.groupBy("op").agg(F.count("*").alias("n")).select("op", "n")
 
 
@@ -645,6 +658,12 @@ SQL_SESSIONIZE = """
 
 # A1-A8 flagship: full schema discovery over synthesized statements
 def q_schema_discovery(spark, sf_dir):
+    # pandas/Arrow kernel, deliberately: discovery consumes EVERY parse
+    # column, and at full width the one-pass Arrow kernel beats the JVM
+    # expression parser (one regexp pass per column) — sf1 interleaved
+    # A/B: 6.5 s vs ~10 s end-to-end; full-width parse alone 4.0 s vs
+    # 9.4 s (PLANS §14). The JVM parser is the 100 TB path only where
+    # downstream pruning keeps few columns (see q_route_counts).
     docs = synth_mixed_docs(spark, sf_dir)
     parsed = parse_documents(docs, keep_cols=("url", "warc_ts"))
     events = uniquify_row_ids(parsed, order_cols=("ts", "url"))

@@ -106,6 +106,15 @@ def main() -> int:
         "against the engine's discovered sets); default sorts "
         "deterministically",
     )
+    ap.add_argument(
+        "--parser", choices=("pandas", "sql"), default="pandas",
+        help="parse kernel: 'pandas' (default, the byte-parity Arrow "
+        "kernel — fastest when every payload column is consumed, as the "
+        "sink fan-out does) or 'sql' (pure-JVM expression parser — no "
+        "Python workers on the cluster; identical output on well-formed "
+        "records, parity-pinned incl. hostile values; see PLANS.md §14 "
+        "for the consumption-width tradeoff)",
+    )
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--no-resume", action="store_true",
@@ -185,10 +194,10 @@ def main() -> int:
     if args.verbose:
         from redo_log_parser_spark.pipeline import print_verbose_entries
 
-        print_verbose_entries(docs, cfg, source=args.input)
+        print_verbose_entries(docs, cfg, source=args.input, parser=args.parser)
 
     if args.no_resume:
-        res = run_pipeline(docs, args.output, cfg)
+        res = run_pipeline(docs, args.output, cfg, parser=args.parser)
         if args.print_schema and res.schema is not None:
             # reference console dump incl. its header line
             # (cli/package.scala:58-66 — typo preserved verbatim)
@@ -204,7 +213,7 @@ def main() -> int:
         return 0
 
     def process(bucket_df, bucket_out):
-        res = run_pipeline(bucket_df, bucket_out, cfg)
+        res = run_pipeline(bucket_df, bucket_out, cfg, parser=args.parser)
         clean = sum(
             v for k, v in res.routed_counts.items() if k != "sink_rejects"
         )

@@ -67,16 +67,26 @@ def _strip_tokens(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.substr(F.lit(2), F.length(x) - 2))
 
 
-def _java_split(c: Column, sep: str) -> Column:
-    """Java String.split semantics: drop trailing empty tokens."""
-    arr = F.split(c, sep, -1)
-    # index of last non-empty token; slice to it (aggregate = codegen'd)
-    last = F.aggregate(
-        F.zip_with(arr, F.sequence(F.lit(1), F.size(arr)), lambda x, i: F.when(x != "", i).otherwise(F.lit(0))),
-        F.lit(0),
-        lambda acc, i: F.greatest(acc, i),
+def _strip_trailing(c: Column, sep: str) -> Column:
+    """Delete trailing separator runs so a plain split reproduces Java
+    String.split semantics (drop trailing empty tokens). `sep` must be
+    regex-safe — it is already used as the F.split pattern. One codegen
+    regexp_replace; the old form (zip_with + sequence + aggregate +
+    slice) allocated three intermediate arrays per row inside an
+    interpreted Project."""
+    return F.regexp_replace(c, "(?:" + sep + ")+\\Z", "")
+
+
+def _split_stripped(c: Column, sep: str) -> Column:
+    """split() of a _strip_trailing'd string with Java's all-empty edge:
+    'a,b,,'→(stripped 'a,b')→[a,b]; ','→(stripped '')→[] (Java drops
+    every trailing empty, so an all-separator string yields []); null
+    propagates through the otherwise branch. `c` must be a NAMED column
+    (it is referenced twice and the consuming Project is interpreted —
+    PLANS §10: no CSE there)."""
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(
+        F.split(c, sep, -1)
     )
-    return F.slice(arr, 1, last)
 
 
 def parse_documents_sql(
@@ -131,38 +141,62 @@ def parse_documents_sql(
     # row. Naming forces single evaluation; CollapseProject keeps the
     # stages apart because every alias is referenced more than once.
 
-    # stage 1: every regexp extraction exactly once per row
+    # stage 1: every regexp pass exactly once per row. The four update
+    # groups are extracted in ONE pass: regexp_like gates a matched row
+    # (provably exact — an unmatched string is never misread as packed),
+    # then one anchored regexp_replace packs "$1␀$2␀$3␀$4" and a split
+    # recovers the groups. 2 regex passes per update row instead of 4;
+    # a group CONTAINING the ␀ separator yields size != 4 and falls back
+    # to per-group extracts in stage 2 (hostile-parity tested). The
+    # insert/delete raws are trailing-stripped here (codegen) so stage 2
+    # needs only a plain split.
+    upd_packed = F.split(
+        F.regexp_replace(s, _RE_UPDATE, "$1\x00$2\x00$3\x00$4"), "\x00", -1
+    )
     extracted = base.select(
         "*",
-        F.when(is_ins, _null_if_empty(F.regexp_extract(s, _RE_INSERT, 1))).alias("__icr"),
-        F.when(is_ins, _null_if_empty(F.regexp_extract(s, _RE_INSERT, 2))).alias("__ivr"),
-        F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 1))).alias("__ua1"),
-        F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 2))).alias("__un"),
-        F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 3))).alias("__ua2"),
-        F.when(is_upd, _null_if_empty(F.regexp_extract(s, _RE_UPDATE, 4))).alias("__uo"),
-        F.when(is_del, _null_if_empty(F.regexp_extract(s, _RE_DELETE, 1))).alias("__dw"),
+        F.when(is_ins, _strip_trailing(_null_if_empty(F.regexp_extract(s, _RE_INSERT, 1)), ",")).alias("__ics"),
+        F.when(is_ins, _strip_trailing(_null_if_empty(F.regexp_extract(s, _RE_INSERT, 2)), ",")).alias("__ivs"),
+        F.when(is_upd & F.regexp_like(s, F.lit(_RE_UPDATE)), upd_packed).alias("__upd"),
+        F.when(is_del, _strip_trailing(_null_if_empty(F.regexp_extract(s, _RE_DELETE, 1)), " and ")).alias("__dws"),
     )
 
     # stage 2 (ONE layer — each interpreted Project copies the row, so
-    # layers are minimized): Java-split the named raw strings; the
+    # layers are minimized): split the named stripped strings; the
     # delete where-clause becomes one (k, v) struct array in a single
-    # transform, so each per-pair regexp runs exactly once. The consumed
-    # raw strings are dropped to shrink the copied row.
+    # transform, so each per-pair regexp runs exactly once. The four
+    # update groups come off the packed array (the >4-token fallback
+    # re-extracts per group — only rows whose values embed ␀ pay it).
+    # The consumed raw strings are dropped to shrink the copied row.
+    u_ok = F.size("__upd") == 4
+
+    def _upd_group(i: int) -> Column:
+        return F.when(u_ok, F.col("__upd")[i - 1]).otherwise(
+            F.when(
+                F.col("__upd").isNotNull(),
+                _null_if_empty(F.regexp_extract(s, _RE_UPDATE, i)),
+            )
+        )
+
     parsed = extracted.select(
         "*",
-        _java_split(F.col("__icr"), ",").alias("__ic"),
-        _java_split(F.col("__ivr"), ",").alias("__iv"),
+        _split_stripped(F.col("__ics"), ",").alias("__ic"),
+        _split_stripped(F.col("__ivs"), ",").alias("__iv"),
+        _upd_group(1).alias("__ua1"),
+        _upd_group(2).alias("__un"),
+        _upd_group(3).alias("__ua2"),
+        _upd_group(4).alias("__uo"),
         F.when(
-            F.col("__dw").isNotNull(),
+            F.col("__dws").isNotNull(),
             F.transform(
-                _java_split(F.col("__dw"), " and "),
+                _split_stripped(F.col("__dws"), " and "),
                 lambda p: F.struct(
                     F.regexp_extract(p, _RE_ATTR_VALUE, 1).alias("k"),
                     F.regexp_extract(p, _RE_ATTR_VALUE, 2).alias("v"),
                 ),
             ),
         ).alias("__dkv"),
-    ).drop("__icr", "__ivr", "__dw")
+    ).drop("__ics", "__ivs", "__upd", "__dws")
 
     tok_ok = lambda arr: F.forall(arr, lambda x: F.length(x) >= 2)  # noqa: E731
     ins_ok = (

@@ -38,6 +38,10 @@ HOSTILE_VALUES = [
     "two  spaces", " lead", "trail ", "a=b", "x;y",
     "q(r", "s)t", "u where u", "andy AND b",
     "values (", "where ", "&<>\"", "ROWID = 'x'",
+    # NUL bytes collide with the JVM parser's packed-group separator
+    # (parse_sql stage 1 packs the four update groups as "$1␀$2␀$3␀$4");
+    # these must take the size!=4 fallback and still match the kernel
+    "a\x00b", "\x00", "x\x00y\x00z", "\x00 = \x00",
 ]
 
 

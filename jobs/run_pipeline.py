@@ -108,12 +108,12 @@ def main() -> int:
     )
     ap.add_argument(
         "--parser", choices=("pandas", "sql"), default="pandas",
-        help="parse kernel: 'pandas' (default, the byte-parity Arrow "
-        "kernel — fastest when every payload column is consumed, as the "
-        "sink fan-out does) or 'sql' (pure-JVM expression parser — no "
+        help="parse kernel: 'pandas' (default — the byte-parity Arrow "
+        "reference kernel) or 'sql' (pure-JVM expression parser — no "
         "Python workers on the cluster; identical output on well-formed "
-        "records, parity-pinned incl. hostile values; see PLANS.md §14 "
-        "for the consumption-width tradeoff)",
+        "records, parity-pinned incl. hostile values, and measured "
+        "FASTER end-to-end through this pipeline: sf1 2.5M rows 91 s "
+        "pandas vs 77 s sql, hash-identical sinks; see PLANS.md §14)",
     )
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--run-id", default="run0")

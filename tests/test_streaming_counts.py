@@ -448,3 +448,35 @@ def test_streaming_lsh_same_url_two_versions_one_batch(spark, tmp_path):
     # invalid banding fails fast instead of silently colliding everything
     with pytest.raises(ValueError, match="multiple of"):
         streaming_lsh_near_dedup(docs, num_hashes=8, bands=16)
+
+
+def test_parse_stream_sql_parser_matches_pandas(spark, mini_docs, tmp_path):
+    """parse_stream(parser='sql') binds the pure-expression parser to a
+    streaming frame; over the mini-log both streaming parsers must land
+    identical frames (same contract as the batch parity tests — the
+    expression parser is projection-only, so streaming changes nothing
+    about its plan)."""
+    src = str(tmp_path / "src_sqlp")
+    mini_docs.write.mode("overwrite").parquet(src)
+
+    def run(parser, name):
+        q = (
+            parse_stream(stream_documents(spark, src), parser=parser)
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"select * from {name}")
+
+    a = run("pandas", "ps_pandas")
+    b = run("sql", "ps_sql")
+    assert a.columns == b.columns
+    norm = lambda df: df.select(  # noqa: E731
+        *[c for c in a.columns if c != "parse_error"],
+        F.col("parse_error").isNotNull().alias("is_reject"),
+    )
+    a, b = norm(a), norm(b)
+    diff = a.exceptAll(b).unionAll(b.exceptAll(a))
+    assert diff.count() == 0

@@ -71,6 +71,27 @@ def check_seed(spark, seed: int, d: str, ts_style: str = "default") -> list[str]
         if events.filter("parse_error is not null").count():
             bad.append("parse_error")
 
+        # round 4: JVM expression parser rides every fuzz seed too —
+        # payload columns + reject-ness must equal the pandas kernel
+        # (labels may differ on degenerate rows, parse_sql docstring);
+        # the ts-style axes also exercise its to_timestamp path
+        from pyspark.sql import functions as F
+
+        from redo_log_parser_spark.functions.parse_sql import (
+            parse_documents_sql)
+
+        cmp_cols = [
+            "url", "op", "table_id", "row_id", "ts", "statement",
+            "insert_cols", "insert_vals", "upd_attr", "upd_new",
+            "upd_old", "delete_cols", "delete_vals",
+        ]
+        norm = lambda df: df.select(  # noqa: E731
+            *cmp_cols, F.col("parse_error").isNotNull().alias("is_reject"))
+        a = norm(parse_documents(docs, cfg=cfg))
+        b = norm(parse_documents_sql(docs, cfg=cfg))
+        if a.exceptAll(b).unionAll(b.exceptAll(a)).count():
+            bad.append("sql_parser_parity")
+
         cols, ind = discover_schema(events, ind_mode="eager")
         schema = summarize_schema(cols, ind)
         if parse_schema_dump(schema.format_console()) != parse_schema_dump(ref_plain):

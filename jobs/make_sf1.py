@@ -56,6 +56,21 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
     ap.add_argument("--src", default=SRC)
+    ap.add_argument(
+        "--tag", default="",
+        help="REQUIRED (non-empty) when expanding an already-expanded "
+        "dataset (e.g. sf1 -> sf10): the default transforms COMMUTE "
+        "with themselves, so a second application creates byte-identical "
+        "cross-replica twins — replica (0,9) == (9,0) for both the token "
+        "suffix (_9 then nothing == nothing then _9) and the embedding "
+        "rotation (rot 0+9 == rot 9+0) — collapsing the 'disjoint "
+        "replicas' invariant into quadratic near-dup families (found by "
+        "the sf10 pair-count blowup, BENCH/BASELINE.md). A tag switches "
+        "the suffix alphabet to _<tag><r> and the embedding transform to "
+        "a prefix sign-flip (flip first r elements — composes "
+        "NON-commutatively with rotation; all level-1 x level-2 "
+        "composites are distinct; norm-preserving).",
+    )
     args = ap.parse_args()
 
     from redo_log_parser_spark.session import get_spark
@@ -85,7 +100,8 @@ def main() -> None:
             F.when(F.col("__r") == 0, F.col("text")).otherwise(
                 F.regexp_replace(
                     F.col("text"), " ",
-                    F.concat(F.lit("_"), F.col("__r").cast("string"), F.lit(" ")),
+                    F.concat(F.lit("_" + args.tag),
+                             F.col("__r").cast("string"), F.lit(" ")),
                 )
             ),
         )
@@ -95,13 +111,24 @@ def main() -> None:
     d.repartition(8).write.mode("overwrite").parquet(f"{args.out}/documents.parquet")
 
     emb = spark.read.parquet(f"{args.src}/embeddings.parquet")
-    rot = F.when(F.col("__r") == 0, F.col("embedding")).otherwise(
-        F.concat(
-            F.slice(F.col("embedding"), F.col("__r") + 1,
-                    F.size("embedding") - F.col("__r")),
-            F.slice(F.col("embedding"), F.lit(1), F.col("__r")),
+    if args.tag:
+        # prefix sign-flip: norm-preserving, non-commutative with the
+        # level-1 rotation, distinct for every (rotation, flip) pair
+        rot = F.when(F.col("__r") == 0, F.col("embedding")).otherwise(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(1), F.size("embedding")),
+                lambda x, i: F.when(i <= F.col("__r"), -x).otherwise(x),
+            )
         )
-    )
+    else:
+        rot = F.when(F.col("__r") == 0, F.col("embedding")).otherwise(
+            F.concat(
+                F.slice(F.col("embedding"), F.col("__r") + 1,
+                        F.size("embedding") - F.col("__r")),
+                F.slice(F.col("embedding"), F.lit(1), F.col("__r")),
+            )
+        )
     e = (
         emb.crossJoin(F.broadcast(reps))
         .withColumn("embedding", rot)

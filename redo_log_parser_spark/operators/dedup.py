@@ -668,10 +668,28 @@ def dedup_components(
     join instead of riding every round's shuffle. At web scale this is
     the difference between propagating labels for billions of untouched
     docs per round and propagating only the near-dup subgraph."""
-    half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    # symmetrize ROW-SIDE (one explode), not union(half, half.swapped):
+    # a self-referencing union evaluates the pair tree once PER BRANCH
+    # while the cache above it builds (PLANS §13 — no exchange reuse
+    # across subplan twins), and the near-dup pair tree is the most
+    # expensive input this operator ever receives (measured ~2x the
+    # whole pair stage at sf10, invisible in sf1 noise)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .cache()
+    )
     # symmetrized, so `src` alone covers every vertex touched by a pair
     labels = (
         edges.select(F.col("src").alias("v"))

@@ -44,15 +44,19 @@ _TS_STYLE_PATTERN = {  # ts_style -> (--timestampPattern arg, engine cfg arg)
 }
 
 
-def check_seed(spark, seed: int, d: str, ts_style: str = "default") -> list[str]:
+def check_seed(
+    spark, seed: int, d: str, ts_style: str = "default",
+    gen_kwargs: dict | None = None, pack_docs: bool = False,
+) -> list[str]:
     """Return list of divergence labels (empty = clean)."""
     import re
 
     from redo_log_parser_spark.config import PipelineConfig
 
+    gen_kwargs = gen_kwargs or {}
     trace_re = re.compile(r"[ ]*<trace>.*?</trace>", re.S)
     log = os.path.join(d, f"fuzz_{seed}.log")
-    tables = write_fuzz_log(seed, log, ts_style=ts_style)
+    tables = write_fuzz_log(seed, log, ts_style=ts_style, **gen_kwargs)
     root = tables[seed % len(tables)]
     bad: list[str] = []
     pat, cfg_fmt = _TS_STYLE_PATTERN[ts_style]
@@ -91,6 +95,49 @@ def check_seed(spark, seed: int, d: str, ts_style: str = "default") -> list[str]
         b = norm(parse_documents_sql(docs, cfg=cfg))
         if a.exceptAll(b).unionAll(b.exceptAll(a)).count():
             bad.append("sql_parser_parity")
+
+        if pack_docs:
+            # round 5: multi-statement-per-doc axis — pack the SAME
+            # records 1-5 per text cell, explode with
+            # explode_log_records, and demand (1) parsed content equal
+            # to the one-record-per-doc frame as a multiset (urls differ
+            # by design), (2) (warc_ts, url) ordering of the exploded
+            # frame == statement order (the input_hint contract), and
+            # (3) JVM-parser parity on the exploded frame.
+            from fuzzgen import (
+                fuzz_records, records_to_documents,
+                records_to_packed_documents)
+
+            from redo_log_parser_spark.sources.logfile import (
+                explode_log_records)
+
+            records, _t = fuzz_records(seed, **gen_kwargs)
+            flat = spark.createDataFrame(records_to_documents(records))
+            packed = spark.createDataFrame(
+                records_to_packed_documents(records, seed))
+            exploded = explode_log_records(packed)
+            content = [c for c in cmp_cols if c != "url"]
+            pnorm = lambda df: df.select(  # noqa: E731
+                *content,
+                F.col("parse_error").isNotNull().alias("is_reject"))
+            pf = pnorm(parse_documents(flat, cfg=cfg))
+            pe = pnorm(parse_documents(exploded, cfg=cfg)).cache()
+            try:
+                if pf.exceptAll(pe).unionAll(pe.exceptAll(pf)).count():
+                    bad.append("packdoc_content")
+                if pe.exceptAll(
+                    pnorm(parse_documents_sql(exploded, cfg=cfg))
+                ).count():
+                    bad.append("packdoc_sql_parity")
+            finally:
+                pe.unpersist()
+            got_order = [
+                r["statement"]
+                for r in parse_documents(exploded, cfg=cfg)
+                .orderBy("warc_ts", "url").select("statement").collect()
+            ]
+            if got_order != [s.statement.strip() for s, _ts in records]:
+                bad.append("packdoc_order")
 
         cols, ind = discover_schema(events, ind_mode="eager")
         schema = summarize_schema(cols, ind)
@@ -142,6 +189,71 @@ def check_seed(spark, seed: int, d: str, ts_style: str = "default") -> list[str]
     return bad
 
 
+def check_seed_wide(spark, seed: int) -> list[str]:
+    """Wide-schema axis (9-10 tables): the binary's per-entry console
+    walk is O(tables!), so these logs cannot go through it — the ground
+    truth is oracle.eager_inds_replay (itself binary-validated on small
+    logs) plus the pure-Python parse/rowid replay. Any divergence is a
+    real bug in one of the two independent implementations."""
+    from fuzzgen import fuzz_records, records_to_documents
+
+    from pyspark.sql import functions as F
+
+    from redo_log_parser_spark import oracle
+    from redo_log_parser_spark.fixtures import _fmt_ts
+    from redo_log_parser_spark.functions.parse_sql import parse_documents_sql
+
+    records, _tables = fuzz_records(seed, n_tables_range=(9, 10))
+    docs = spark.createDataFrame(records_to_documents(records))
+    events = uniquify_row_ids(parse_documents(docs)).cache()
+    bad: list[str] = []
+    try:
+        if events.filter("parse_error is not null").count():
+            bad.append("parse_error")
+        cmp_cols = [
+            "url", "op", "table_id", "row_id", "ts", "statement",
+            "insert_cols", "insert_vals", "upd_attr", "upd_new",
+            "upd_old", "delete_cols", "delete_vals",
+        ]
+        norm = lambda df: df.select(  # noqa: E731
+            *cmp_cols, F.col("parse_error").isNotNull().alias("is_reject"))
+        a = norm(parse_documents(docs))
+        b = norm(parse_documents_sql(docs))
+        if a.exceptAll(b).unionAll(b.exceptAll(a)).count():
+            bad.append("sql_parser_parity")
+        raw = oracle.parse_records(
+            [f"{s.statement}\n{s.row_id} {_fmt_ts(ts)}"
+             for s, ts in records])
+        entries = oracle.uniquify_row_ids(raw)
+        got_rowids = [
+            (r["orig_row_id"], r["row_id"]) for r in
+            events.orderBy("ts", "url")
+            .select("row_id", "orig_row_id").collect()
+        ]
+        if got_rowids != [(r.row_id, u.row_id)
+                          for r, u in zip(raw, entries)]:
+            bad.append("rowid_replay")
+        _, ind_df = discover_schema(events, ind_mode="eager")
+        got = {
+            (r["table_id"], r["col"], r["ref_table"], r["ref_col"])
+            for r in ind_df.collect()
+        }
+        if got != oracle.eager_inds_replay(entries):
+            bad.append("eager_ind_replay")
+    finally:
+        events.unpersist()
+    return bad
+
+
+_AXES = {
+    # axis -> (gen_kwargs, pack_docs, needs_binary)
+    "none": ({}, False, True),
+    "dupcol": ({"dup_col_prob": 0.35}, False, True),
+    "packdoc": ({}, True, True),
+    "wide": (None, False, False),  # handled by check_seed_wide
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--start", type=int, default=1000)
@@ -151,9 +263,18 @@ def main() -> int:
                     help="timestamp rendering axis: default pattern, "
                     "per-record mixed month casing, or ISO + "
                     "--timestampPattern on both sides")
+    ap.add_argument("--axis", choices=sorted(_AXES), default="none",
+                    help="round-5 axes: dupcol = duplicate column names "
+                    "in inserts (reference HashMap last-wins); packdoc = "
+                    "multi-statement-per-doc + explode_log_records; "
+                    "wide = 9-10 tables, engine vs pure-Python replay "
+                    "(binary's console walk is O(tables!))")
     args = ap.parse_args()
 
-    assert ensure_reference_build() is not None, "reference build unavailable"
+    gen_kwargs, pack_docs, needs_binary = _AXES[args.axis]
+    if needs_binary:
+        assert ensure_reference_build() is not None, \
+            "reference build unavailable"
     spark = get_spark("diff-fuzz-sweep", master="local[8]", confs={
         "spark.sql.shuffle.partitions": "8",
     })
@@ -164,7 +285,12 @@ def main() -> int:
     with tempfile.TemporaryDirectory() as d:
         for seed in range(args.start, args.start + args.count):
             try:
-                bad = check_seed(spark, seed, d, ts_style=args.ts_style)
+                if args.axis == "wide":
+                    bad = check_seed_wide(spark, seed)
+                else:
+                    bad = check_seed(
+                        spark, seed, d, ts_style=args.ts_style,
+                        gen_kwargs=gen_kwargs, pack_docs=pack_docs)
             except Exception:
                 errors[seed] = traceback.format_exc(limit=3)
                 print(f"seed {seed}: ERROR\n{errors[seed]}", flush=True)
@@ -175,7 +301,7 @@ def main() -> int:
                   flush=True)
 
     print(f"\nswept {args.count} seeds from {args.start} "
-          f"(ts_style={args.ts_style}): "
+          f"(ts_style={args.ts_style}, axis={args.axis}): "
           f"{len(failures)} diverged, {len(errors)} errored")
     for s, b in failures.items():
         print(f"  seed {s}: {b}")

@@ -151,9 +151,17 @@ def main() -> int:
         # logfile-sourced docs carry no warc_ts column (the ts lives in
         # the text chunk); their zero-padded urls alone give file order
         order_cols = [c for c in ("warc_ts", "url") if c in docs.columns]
-        rows = (
-            docs.select(*order_cols, "text").orderBy(*order_cols).collect()
-        )
+        sel = docs.select(*order_cols, "text")
+        n_docs = sel.count()
+        if n_docs > 1_000_000:
+            raise SystemExit(
+                f"--reference-console-order collects the whole input to "
+                f"the driver ({n_docs} rows > 1,000,000); it replicates "
+                "the reference CLI's console HashMap order and is meant "
+                "for reference-CLI-sized logs only. Drop the flag to use "
+                "the engine's sorted schema dump for large inputs."
+            )
+        rows = sel.orderBy(*order_cols).collect()
         entries = oracle.uniquify_row_ids(
             oracle.parse_records([r["text"] for r in rows], cfg))
         dump = oracle.reference_console_dump(entries, strict=strict)

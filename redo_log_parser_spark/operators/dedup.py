@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..caching import register
 from ..functions.text import doc_fingerprint, tokens
 
 
@@ -166,11 +167,15 @@ def ngram_jaccard_pairs(
     Cache lifecycle: the per-doc shingle frame (or the filtered index)
     is cache()d because the plan reads it twice WITHIN one action; it
     cannot be unpersisted here (the return value is lazy — dropping the
-    mark before the caller's action would disable the reuse). Repeated
-    calls in one long-lived session accumulate cached frames: call
-    spark.catalog.clearCache() between invocations if that matters
-    (bench.py does; unreferenced entries are also reclaimed by the
-    ContextCleaner on GC)."""
+    mark before the caller's action would disable the reuse). Long-lived
+    sessions should take ownership via caching.operator_caches():
+
+        with operator_caches():
+            pairs = ngram_jaccard_pairs(docs).collect()  # materialize
+
+    which unpersists every frame cached inside the block on exit.
+    Without it, the historical hygiene applies: clearCache() between
+    invocations (bench.py does) or ContextCleaner GC reclaim."""
     base = with_shingle_set(docs, n, text_col).select(id_col, "shs")
 
     def _index(frame: DataFrame) -> DataFrame:
@@ -185,10 +190,11 @@ def ngram_jaccard_pairs(
         # base is consumed once here (retained-set sizes come from the
         # post-drop index) — caching it would pin every doc's shingle
         # array for zero reuse; cache the filtered index instead
-        sh = _drop_hot_shingles(_index(base), max_df).cache()
+        sh = register(_drop_hot_shingles(_index(base), max_df).cache())
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     else:
-        base = base.cache()  # read twice: the index explode and sizes
+        # read twice: the index explode and sizes
+        base = register(base.cache())
         sh = _index(base)
         sizes = base.select(id_col, F.size("shs").alias("n_sh"))
     a = sh.alias("a")
@@ -475,8 +481,8 @@ def minhash_dedup_pairs(
 
     Cache lifecycle: per_doc stays cache()d after return — the lazy
     result reads it three times in one action, so it cannot be
-    unpersisted here; see ngram_jaccard_pairs for the session-hygiene
-    options."""
+    unpersisted here; wrap materialization in caching.operator_caches()
+    to own it (see ngram_jaccard_pairs)."""
     validate_bands(num_hashes, bands)
     # NO filter on the projected columns: a predicate like
     # size(shs) > 0 would be alias-substituted below the Project by
@@ -492,6 +498,7 @@ def minhash_dedup_pairs(
         .select(id_col, "sig", "shs", F.size("shs").alias("n_sh"))
         .cache()
     )
+    per_doc = register(per_doc)
     cand = minhash_lsh_candidates(
         per_doc.select(id_col, "sig"), bands, id_col, max_bucket_size
     )
@@ -608,7 +615,7 @@ def simhash_near_dups(
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, max_bucket_size)
-    banded = banded.cache()
+    banded = register(banded.cache())
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

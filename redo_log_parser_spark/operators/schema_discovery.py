@@ -40,6 +40,36 @@ def _sort_key(order_cols: tuple[str, ...]):
     return F.struct(*[F.col(c).alias(f"k{i}") for i, c in enumerate(order_cols)])
 
 
+def insert_kv_pairs() -> F.Column:
+    """array<struct<col,value,pos>> of an insert row's (column, value)
+    pairs with duplicate column names collapsed LAST-wins: the reference
+    folds the pairs through a mutable.HashMap (FileParser.scala:100-104),
+    so only the final value ever reaches its schema state — an entry for
+    an earlier value would plant a phantom value in PK-uniqueness / IND
+    value sets and entity edges. Row-side O(k²) exists() over the
+    (short) column list; first-occurrence position order is NOT kept
+    (the survivor sits at its own position), which no consumer observes
+    — engine-side orders come from explicit sorts, and the byte-order
+    replicas live in oracle.py over insert_map."""
+    return F.filter(
+        F.transform(
+            F.arrays_zip(F.col("insert_cols"), F.col("insert_vals")),
+            lambda cv, i: F.struct(
+                cv["insert_cols"].alias("col"),
+                cv["insert_vals"].alias("value"),
+                i.alias("pos"),
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.slice(
+                F.col("insert_cols"), s["pos"] + 2,
+                F.size(F.col("insert_cols")),
+            ),
+            lambda c: c == s["col"],
+        ),
+    )
+
+
 def column_writes(
     events: DataFrame, order_cols: tuple[str, ...] = ("ts", "url")
 ) -> DataFrame:
@@ -59,14 +89,15 @@ def column_writes(
     caching, and at 100 TB it is one scan instead of three."""
     sk = _sort_key(order_cols)
     write_lit = F.lit("write")
+    ins_pairs = insert_kv_pairs()
     effects = (
         F.when(
             F.col("op") == "insert",
             F.transform(
-                F.arrays_zip(F.col("insert_cols"), F.col("insert_vals")),
+                ins_pairs,
                 lambda cv: F.struct(
-                    cv["insert_cols"].alias("col"),
-                    cv["insert_vals"].alias("value"),
+                    cv["col"].alias("col"),
+                    cv["value"].alias("value"),
                     write_lit.alias("kind"),
                 ),
             ),

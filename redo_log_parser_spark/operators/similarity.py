@@ -26,6 +26,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import register
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -313,6 +315,7 @@ def embedding_near_dup_pairs(
         F.col(vec_col).cast("array<double>").alias(vec_col),
         "lsh_bucket",
     ).withColumn("__nrm", _norm(F.col(vec_col))).cache()
+    bucketed = register(bucketed)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .schema_discovery import SchemaSummary
+from .schema_discovery import SchemaSummary, insert_kv_pairs
 
 
 def first_insert_values(events: DataFrame) -> DataFrame:
@@ -41,19 +41,21 @@ def first_insert_values(events: DataFrame) -> DataFrame:
     After ROWID uniquification every entity has at most one insert and it
     is its first statement (an insert always opens a new incarnation), so
     'first insert of the entity' (RelationsExtractor.scala:119-123) is
-    simply 'the insert'."""
+    simply 'the insert'. Duplicate column names collapse last-wins
+    (insert_kv_pairs — the reference statement representation is a
+    HashMap, so relations only ever see the final value)."""
     return (
         events.filter(F.col("op") == "insert")
         .select(
             "table_id",
             "row_id",
-            F.explode(F.arrays_zip(F.col("insert_cols"), F.col("insert_vals"))).alias("cv"),
+            F.explode(insert_kv_pairs()).alias("cv"),
         )
         .select(
             "table_id",
             "row_id",
-            F.col("cv.insert_cols").alias("col"),
-            F.col("cv.insert_vals").alias("value"),
+            F.col("cv.col").alias("col"),
+            F.col("cv.value").alias("value"),
         )
     )
 

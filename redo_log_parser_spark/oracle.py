@@ -121,6 +121,10 @@ def parse_statement(statement: str, seq: int, row_id: str, ts: datetime) -> Pars
         if len(cols) != len(vals):
             raise ValueError(f"insert arity mismatch: {statement!r}")
         entry.insert_cols, entry.insert_vals = cols, vals
+        # duplicate column names collapse LAST-wins with first-
+        # occurrence position, exactly like the reference's
+        # mutable.HashMap fold (FileParser.scala:100-104) — all
+        # semantic consumers must read THIS map, not the raw lists
         entry.insert_map = dict(zip(cols, vals))
     elif op == "update":
         um = UPDATE_RE.fullmatch(statement)
@@ -258,7 +262,7 @@ def extract_schema(
         table = schema.setdefault(e.table_id, {})
         affected: list[str] = []
         if e.op == "insert":
-            for col, val in zip(e.insert_cols, e.insert_vals):
+            for col, val in e.insert_map.items():
                 c = table.get(col)
                 if c is None:
                     table[col] = c = OracleColumn(col, e.table_id)
@@ -358,7 +362,7 @@ def eager_inds_replay(entries: list[ParsedEntry]) -> set[tuple[str, str, str, st
             touched.append(key)
 
         if e.op == "insert":
-            for col, val in zip(e.insert_cols, e.insert_vals):
+            for col, val in e.insert_map.items():
                 touch(col, write=val)
         elif e.op == "update":
             touch(e.upd_attr, write=e.upd_new)

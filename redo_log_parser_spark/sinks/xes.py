@@ -105,7 +105,8 @@ def write_xes_document(
 
 
 def reference_trace_order(
-    events: DataFrame, root_table: str, seed: int = 42
+    events: DataFrame, root_table: str, seed: int = 42,
+    max_rows: int = 1_000_000,
 ) -> list[str]:
     """The reference binary's document-level trace order, as this
     engine's case ids (round-3 VERDICT #5 — closes the one remaining
@@ -127,15 +128,22 @@ def reference_trace_order(
     rows = events
     if "parse_error" in rows.columns:
         rows = rows.filter(F.col("parse_error").isNull())
-    collected = (
-        rows.select("ts", "url", "orig_row_id", "row_id", "op", "table_id")
-        .orderBy("ts", "url")
-        .collect()
-    )
+    rows = rows.select("ts", "url", "orig_row_id", "row_id", "op", "table_id")
+    n_rows = rows.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"reference_trace_order collects the event log to the driver "
+            f"({n_rows} rows > max_rows={max_rows}); it exists only to "
+            "replicate the reference CLI's HashMap trace order on "
+            "reference-CLI-sized logs. Use the default sorted case_id "
+            "order for large inputs, or raise max_rows explicitly."
+        )
+    collected = rows.orderBy("ts", "url").collect()
     ref_map = reference_row_id_map(
         [(r["orig_row_id"], r["op"]) for r in collected], seed
     )
     seen: dict[str, str] = {}
+    seen_orig: dict[str, str] = {}
     rt = root_table.lower()
     for r in collected:
         if r["table_id"].lower() != rt:
@@ -143,8 +151,29 @@ def reference_trace_order(
         cid = r["row_id"]
         if cid not in seen:
             orig = r["orig_row_id"]
-            k = 0 if cid == orig else int(cid.rsplit("#", 1)[1])
+            # incarnation index by PREFIX slice against the known orig id
+            # (cid == concat(orig, '#', k) by construction) — rsplit would
+            # mis-parse an orig that itself contains '#' (ADVICE r4)
+            if cid == orig:
+                k = 0
+            elif cid.startswith(orig + "#"):
+                k = int(cid[len(orig) + 1:])
+            else:
+                raise ValueError(
+                    f"row_id {cid!r} is not orig_row_id {orig!r} plus an "
+                    "incarnation suffix - was uniquify_row_ids applied?"
+                )
             seen[cid] = ref_map[(orig, k)]
+            seen_orig[cid] = orig
+        elif seen_orig[cid] != r["orig_row_id"]:
+            # two distinct source ids collided in incarnation space, e.g.
+            # orig 'A' incarnation 1 vs a literal source id 'A#1'
+            raise ValueError(
+                f"incarnation-id collision: {cid!r} arises from both "
+                f"{seen_orig[cid]!r} and {r['orig_row_id']!r}; source row "
+                "ids containing '#' are ambiguous under the deterministic "
+                "suffix scheme (SURVEY.md §1.3.3)"
+            )
     ref_to_ours = {v: k for k, v in seen.items()}
     return [
         ref_to_ours[rid]

@@ -67,3 +67,57 @@ def read_log_files(spark: SparkSession, path: str) -> DataFrame:
         ).alias("url"),
         F.col("c.text").alias("text"),
     )
+
+
+def explode_log_records(
+    docs: DataFrame, text_col: str = "text", id_col: str = "url"
+) -> DataFrame:
+    """Multi-statement documents → one row per 2-line record, with the
+    reference's exact pairing semantics (blank lines dropped, remaining
+    lines grouped in pairs — FileParser.scala:22), as pure expressions.
+
+    For a documents table whose text cells batch several redo records,
+    run this BEFORE parse_documents / parse_documents_sql. Every other
+    column is carried unchanged (an exploded record inherits its doc's
+    warc_ts; the parse extracts the per-record ts from the chunk).
+    `id_col` gains a zero-padded '#kkkk' position suffix so
+    (warc_ts, url) ordering inside a doc equals record order. An odd
+    trailing line yields a one-line record the parse kernel flags
+    (missing id line) — the reference CRASHES there (chunk(1) index
+    error); this repo's policy turns reference crashes into observable
+    rejects. All-blank or empty text cells yield no rows (filterNot
+    semantics)."""
+    other = [c for c in docs.columns if c != text_col]
+    staged = docs.select(
+        *other,
+        # named array column: the chunking transform references it
+        # repeatedly and interpreted Projects have no CSE (PLANS §10)
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != ""
+        ).alias("__lines"),
+    )
+    chunks = F.expr(
+        # same guarded pairing as read_log_files (sequence(0,-1) would
+        # DESCEND; get() keeps the orphan's missing second line NULL,
+        # which concat_ws drops)
+        "case when size(__lines) = 0 then array() else "
+        "transform(sequence(0, int(ceil(size(__lines)/2)) - 1),"
+        " i -> struct(i as seq,"
+        " concat_ws('\\n', get(__lines, 2*i), get(__lines, 2*i+1)) as text))"
+        " end"
+    )
+    ex = staged.select(*other, F.explode(chunks).alias("__c"))
+    out_cols = []
+    for c in docs.columns:
+        if c == text_col:
+            out_cols.append(F.col("__c.text").alias(text_col))
+        elif c == id_col:
+            out_cols.append(
+                F.concat_ws(
+                    "#", F.col(id_col),
+                    F.format_string("%04d", F.col("__c.seq")),
+                ).alias(id_col)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return ex.select(*out_cols)

@@ -8,6 +8,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from redo_log_parser_spark.session import get_spark  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: corpus-scale tests (~1 min each); deselect with -m 'not slow'",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("rlps-tests", master="local[4]", confs={

@@ -28,7 +28,11 @@ from datetime import datetime, timedelta
 
 from redo_log_parser_spark.fixtures import Stmt, _fmt_ts, _rowid
 
-_TABLE_POOL = ["USERS", "ORDERS", "INVOICES", "ITEMS", "SHIPMENTS"]
+_TABLE_POOL = ["USERS", "ORDERS", "INVOICES", "ITEMS", "SHIPMENTS",
+               # extension pool for the wide-schema axis (round 5); the
+               # first five stay in place so pre-round-5 seeds reproduce
+               "CUSTOMERS", "PAYMENTS", "TICKETS", "VENDORS", "RETURNS",
+               "ACCOUNTS", "REGIONS"]
 # The second half is the ADVERSARIAL alphabet: values the reference's
 # greedy full-match regexes + substring stripping survive (calibrated
 # against the real binary) but that exercise the nasty backtracking
@@ -117,10 +121,29 @@ def _del(table: str, row_id: str, state: dict[str, str],
     )
 
 
-def fuzz_statements(seed: int) -> tuple[list[Stmt], list[str]]:
-    """Return (statements, table_ids). Deterministic per seed."""
+def fuzz_statements(
+    seed: int,
+    *,
+    n_tables_range: tuple[int, int] = (2, 4),
+    dup_col_prob: float = 0.0,
+) -> tuple[list[Stmt], list[str]]:
+    """Return (statements, table_ids). Deterministic per seed.
+
+    Round-5 axes (opt-in; every new random draw comes from a SEPARATE
+    stream so default-parameter output is byte-identical to pre-round-5
+    seeds):
+      * n_tables_range: widen to e.g. (9, 10) for the wide-schema axis.
+        The reference binary's per-entry console walk is O(tables!), so
+        wide logs are validated engine-vs-`oracle.eager_inds_replay`
+        instead of vs the binary (see jobs/diff_fuzz_sweep.py --axis).
+      * dup_col_prob: probability per insert of listing one column name
+        TWICE with two different values — the reference's insert
+        extraction folds them through a mutable.HashMap (FileParser
+        .scala:100-110), silently keeping the LAST value; the engine
+        must agree end-to-end."""
     rng = random.Random(seed)
-    n_tables = rng.randint(2, 4)
+    rng_axis = random.Random(seed * 101 + 13)  # new-axis stream only
+    n_tables = rng.randint(*n_tables_range)
     tables = _TABLE_POOL[:n_tables]
     specs: dict[str, dict[str, _ColSpec]] = {}
     id_values: dict[str, list[str]] = {t: [] for t in tables}
@@ -171,7 +194,22 @@ def fuzz_statements(seed: int) -> tuple[list[Stmt], list[str]]:
                 st = {c: tcols[c].fresh(rng) for c in ins_cols[t]}
                 if "ID" in st:
                     id_values[t].append(st["ID"])
-                ops.append(_ins(t, rid, ins_cols[t], list(st.values())))
+                cols_r, vals_r = list(ins_cols[t]), list(st.values())
+                if dup_col_prob and rng_axis.random() < dup_col_prob:
+                    # duplicate-column axis: same name twice, two values;
+                    # the reference's HashMap fold keeps the LAST one, so
+                    # the row state (and later update old-value chains)
+                    # tracks the second value
+                    i = rng_axis.randrange(len(cols_r))
+                    c2 = cols_r[i]
+                    v2 = tcols[c2].fresh(rng_axis)
+                    j = rng_axis.randrange(i + 1, len(cols_r) + 1)
+                    cols_r.insert(j, c2)
+                    vals_r.insert(j, v2)
+                    st[c2] = v2
+                    if c2 == "ID":
+                        id_values[t].append(v2)
+                ops.append(_ins(t, rid, cols_r, vals_r))
                 return st
 
             state = spawn()
@@ -224,12 +262,13 @@ def fuzz_statements(seed: int) -> tuple[list[Stmt], list[str]]:
 
 
 def fuzz_records(
-    seed: int, start: datetime = datetime(2020, 7, 21, 16, 29, 41)
+    seed: int, start: datetime = datetime(2020, 7, 21, 16, 29, 41),
+    **gen_kwargs,
 ) -> tuple[list[tuple[Stmt, datetime]], list[str]]:
     """(statement, timestamp) pairs with 0-2 s steps (equal-ts ties
     common), plus the table ids. Shared by the file-mode renderer and
     the documents-mode frame so both inputs carry identical events."""
-    stmts, tables = fuzz_statements(seed)
+    stmts, tables = fuzz_statements(seed, **gen_kwargs)
     rng = random.Random(seed * 31 + 7)
     ts = start
     records = []
@@ -295,9 +334,45 @@ def records_to_documents(records: list[tuple[Stmt, datetime]]):
     return pd.DataFrame(rows)
 
 
-def write_fuzz_log(seed: int, path: str, ts_style: str = "default") -> list[str]:
+def records_to_packed_documents(
+    records: list[tuple[Stmt, datetime]], seed: int
+):
+    """Multi-statement-per-doc axis: consecutive records packed 1-5 per
+    text cell (with blank/whitespace separator noise between chunks,
+    which the reference chunker drops — FileParser.scala:22). Exploding
+    with functions.parse.explode_log_records and parsing must equal the
+    one-record-per-doc frame. warc_ts = FIRST packed record's ts; urls
+    zero-padded by first record seq, so after exploding (which appends a
+    zero-padded '#kkkk' position suffix) (warc_ts, url) ordering is
+    again exactly statement order."""
+    import pandas as pd
+
+    rng = random.Random(seed * 977 + 3)
+    rows, i = [], 0
+    while i < len(records):
+        k = rng.randint(1, 5)
+        chunk_lines = []
+        for j, (s, ts) in enumerate(records[i:i + k]):
+            if j and rng.random() < 0.5:
+                chunk_lines.append(" " * rng.randrange(3))  # separator noise
+            chunk_lines.append(s.statement + " " * (j % 2))
+            chunk_lines.append(f"{s.row_id} {_fmt_ts(ts)}".ljust(78))
+        rows.append({
+            "url": f"https://fuzz.example/{i:08d}",
+            "warc_ts": records[i][1],
+            "html": b"",
+            "text": "\n".join(chunk_lines),
+            "lang": "en",
+        })
+        i += k
+    return pd.DataFrame(rows)
+
+
+def write_fuzz_log(
+    seed: int, path: str, ts_style: str = "default", **gen_kwargs
+) -> list[str]:
     """Generate, render and write the seed's log; return its table ids."""
-    records, tables = fuzz_records(seed)
+    records, tables = fuzz_records(seed, **gen_kwargs)
     with open(path, "w", encoding="utf-8") as f:
         f.write(render_log(records, ts_style))
     return tables

@@ -335,3 +335,49 @@ def test_eager_mode_seamless_rewrite_is_not_a_violation(spark):
     key = ('"S"."T1"', "A", '"S"."T2"', "B")
     assert key in _inds(spark, stmts, "eager")
     assert key in _inds(spark, stmts, "final")
+
+
+def test_duplicate_insert_columns_collapse_last_wins(spark):
+    """One insert listing a column twice folds through the reference's
+    mutable.HashMap (FileParser.scala:100-104): only the LAST value
+    exists. The phantom first value must not appear in current values,
+    must not break PK uniqueness, and must not satisfy an inclusion."""
+    from redo_log_parser_spark.operators.schema_discovery import (
+        column_writes, current_values)
+    from redo_log_parser_spark.operators.traces import first_insert_values
+
+    stmts = [
+        # T.B is written 'x' then 'y' IN ONE STATEMENT -> only 'y' exists
+        ('insert into "S"."T"("ID","B","B") values (\'1\',\'x\',\'y\');',
+         "R1"),
+        ('insert into "S"."T"("ID","B") values (\'2\',\'z\');', "R2"),
+        # probe: P.A = {x} — included in T.B ONLY if the phantom x exists
+        ('insert into "S"."P"("A") values (\'x\');', "P1"),
+        # probe: Q.C = {y, z} — included in T.B iff collapse kept y
+        ('insert into "S"."Q"("C") values (\'y\');', "Q1"),
+        ('insert into "S"."Q"("C") values (\'z\');', "Q2"),
+    ]
+    events = uniquify_row_ids(parse_documents(_docs(spark, stmts)))
+    writes = column_writes(events)
+    cur = {
+        (r["table_id"], r["col"], r["row_id"]): r["value"]
+        for r in current_values(writes).collect()
+    }
+    assert cur[('"S"."T"', "B", "R1")] == "y"
+    # exactly ONE write row for the duplicated column
+    assert writes.filter(
+        "table_id = '\"S\".\"T\"' and col = 'B' and row_id = 'R1'"
+    ).count() == 1
+    fi = {
+        (r["col"], r["row_id"]): r["value"]
+        for r in first_insert_values(events)
+        .filter("table_id = '\"S\".\"T\"'").collect()
+    }
+    assert fi[("B", "R1")] == "y" and ("B", "R1") in fi
+    _, ind_df = discover_schema(events)
+    got = {
+        (r["table_id"], r["col"], r["ref_table"], r["ref_col"])
+        for r in ind_df.collect()
+    }
+    assert ('"S"."Q"', "C", '"S"."T"', "B") in got     # {y,z} ⊆ {y,z}
+    assert ('"S"."P"', "A", '"S"."T"', "B") not in got  # x is phantom

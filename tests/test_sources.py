@@ -52,3 +52,30 @@ def test_read_documents_micros_parquet_unchanged(spark, tmp_path):
     df = read_documents(spark, path)
     assert dict(df.dtypes)["warc_ts"].startswith("timestamp")
     assert df.count() == 2
+
+
+def test_explode_log_records_pairing_and_order(spark):
+    """Reference pairing semantics per text cell (blank lines dropped,
+    remaining lines paired; odd orphan -> 1-line record; empty/blank
+    cell -> no rows) and the (warc_ts, url) ordering contract."""
+    from redo_log_parser_spark.sources.logfile import explode_log_records
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    docs = spark.createDataFrame(
+        [
+            ("u1", t0, "s1\nR1 TS1\n  \n\ns2\nR2 TS2", "en"),
+            ("u2", t0, "\n   \ns3\nR3 TS3\norphan", "en"),
+            ("u3", t0, "   \n  ", "en"),
+            ("u4", t0, "", "en"),
+        ],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    rows = explode_log_records(docs).orderBy("warc_ts", "url").collect()
+    assert [(r["url"], r["text"]) for r in rows] == [
+        ("u1#0000", "s1\nR1 TS1"),
+        ("u1#0001", "s2\nR2 TS2"),
+        ("u2#0000", "s3\nR3 TS3"),
+        ("u2#0001", "orphan"),        # 1-line record -> parse reject
+    ]
+    # carried columns unchanged
+    assert all(r["warc_ts"] == t0 and r["lang"] == "en" for r in rows)

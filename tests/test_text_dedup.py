@@ -164,9 +164,13 @@ def test_multimodal_decode_plumbing(spark, mini_docs):
     assert frames.groupBy("media_id").count().first()["count"] == 3
 
 
-def test_multimodal_strict_mode_is_stubbed(spark, mini_docs):
-    with pytest.raises(NotImplementedError):
-        decode_media(mini_docs, mode="strict")
+def test_multimodal_strict_mode_rejects_unknown_magic():
+    # strict is REAL now (tests/test_multimodal_strict.py); non-media
+    # bytes surface a clear error instead of invented metadata
+    from redo_log_parser_spark.functions.multimodal import _strict_decode
+
+    with pytest.raises(ValueError, match="unsupported magic"):
+        _strict_decode(b"<html>not media</html>")
 
 
 def test_max_df_bounds_hot_shingle_fanout(spark):

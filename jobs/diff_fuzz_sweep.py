@@ -47,6 +47,7 @@ _TS_STYLE_PATTERN = {  # ts_style -> (--timestampPattern arg, engine cfg arg)
 def check_seed(
     spark, seed: int, d: str, ts_style: str = "default",
     gen_kwargs: dict | None = None, pack_docs: bool = False,
+    ws_style: str = "plain", utf8: bool = False,
 ) -> list[str]:
     """Return list of divergence labels (empty = clean)."""
     import re
@@ -56,18 +57,19 @@ def check_seed(
     gen_kwargs = gen_kwargs or {}
     trace_re = re.compile(r"[ ]*<trace>.*?</trace>", re.S)
     log = os.path.join(d, f"fuzz_{seed}.log")
-    tables = write_fuzz_log(seed, log, ts_style=ts_style, **gen_kwargs)
+    tables = write_fuzz_log(seed, log, ts_style=ts_style, ws_style=ws_style,
+                            **gen_kwargs)
     root = tables[seed % len(tables)]
     bad: list[str] = []
     pat, cfg_fmt = _TS_STYLE_PATTERN[ts_style]
     cfg = PipelineConfig(ts_format_java=cfg_fmt) if cfg_fmt else PipelineConfig()
 
     ref_plain, ref_xes = run_reference(log, root, os.path.join(d, "r1.xes"),
-                                       ts_pattern=pat)
+                                       ts_pattern=pat, utf8=utf8)
     ref_strict, _ = run_reference(log, "-", os.path.join(d, "r2.xes"),
-                                  ts_pattern=pat, strict=True)
+                                  ts_pattern=pat, strict=True, utf8=utf8)
     _, ref_xes_upd = run_reference(log, root, os.path.join(d, "r3.xes"),
-                                   ts_pattern=pat, updvals=True)
+                                   ts_pattern=pat, updvals=True, utf8=utf8)
 
     docs = read_log_files(spark, log)
     events = uniquify_row_ids(parse_documents(docs, cfg=cfg)).cache()
@@ -114,7 +116,8 @@ def check_seed(
             records, _t = fuzz_records(seed, **gen_kwargs)
             flat = spark.createDataFrame(records_to_documents(records))
             packed = spark.createDataFrame(
-                records_to_packed_documents(records, seed))
+                records_to_packed_documents(records, seed,
+                                            ws_style=ws_style))
             exploded = explode_log_records(packed)
             content = [c for c in cmp_cols if c != "url"]
             pnorm = lambda df: df.select(  # noqa: E731
@@ -246,11 +249,20 @@ def check_seed_wide(spark, seed: int) -> list[str]:
 
 
 _AXES = {
-    # axis -> (gen_kwargs, pack_docs, needs_binary)
-    "none": ({}, False, True),
-    "dupcol": ({"dup_col_prob": 0.35}, False, True),
-    "packdoc": ({}, True, True),
-    "wide": (None, False, False),  # handled by check_seed_wide
+    # axis -> (gen_kwargs, pack_docs, needs_binary, ws_style, utf8)
+    "none": ({}, False, True, "plain", False),
+    "dupcol": ({"dup_col_prob": 0.35}, False, True, "plain", False),
+    "packdoc": ({}, True, True, "plain", False),
+    "wide": (None, False, False, "plain", False),  # via check_seed_wide
+    # round 5: multibyte/astral/NBSP values + isBlank-true unicode
+    # separator lines; the binary runs with -Dfile.encoding=UTF-8 (the
+    # sandbox default US-ASCII mangles non-ASCII bytes — parity is
+    # pinned against the UTF-8-locale deployment configuration)
+    "unicode": ({"uni_prob": 0.6}, False, True, "unicode", True),
+    # unicode values AND unicode isBlank separator lines INSIDE packed
+    # multi-statement text cells — explode_log_records' line drop must
+    # be String.isBlank, not trim()=='' (javaspace.not_blank_line)
+    "unipack": ({"uni_prob": 0.6}, True, True, "unicode", True),
 }
 
 
@@ -271,7 +283,7 @@ def main() -> int:
                     "(binary's console walk is O(tables!))")
     args = ap.parse_args()
 
-    gen_kwargs, pack_docs, needs_binary = _AXES[args.axis]
+    gen_kwargs, pack_docs, needs_binary, ws_style, utf8 = _AXES[args.axis]
     if needs_binary:
         assert ensure_reference_build() is not None, \
             "reference build unavailable"
@@ -290,7 +302,8 @@ def main() -> int:
                 else:
                     bad = check_seed(
                         spark, seed, d, ts_style=args.ts_style,
-                        gen_kwargs=gen_kwargs, pack_docs=pack_docs)
+                        gen_kwargs=gen_kwargs, pack_docs=pack_docs,
+                        ws_style=ws_style, utf8=utf8)
             except Exception:
                 errors[seed] = traceback.format_exc(limit=3)
                 print(f"seed {seed}: ERROR\n{errors[seed]}", flush=True)

@@ -119,6 +119,13 @@ def main() -> int:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--no-resume", action="store_true",
                     help="process everything as one job (no bucket lineage)")
+    ap.add_argument(
+        "--explode-records", action="store_true",
+        help="documents whose text cells batch SEVERAL 2-line redo "
+        "records: un-pack them first with the reference's pairing "
+        "(blank lines dropped, remaining lines grouped in pairs); url "
+        "gains a '#kkkk' position suffix preserving (warc_ts, url) "
+        "order. Fuzz-validated (diff_fuzz_sweep --axis packdoc)")
     args = ap.parse_args()
 
     spark = get_spark("rlps-pipeline")
@@ -139,6 +146,10 @@ def main() -> int:
         docs = read_log_files(spark, args.input)
     else:
         docs = read_documents(spark, args.input)
+    if args.explode_records:
+        from redo_log_parser_spark.sources.logfile import explode_log_records
+
+        docs = explode_log_records(docs)
 
     def _reference_order_dump(docs, cfg, strict, res):
         """Byte-faithful reference console dump: pure-Python replay

@@ -42,15 +42,31 @@ from pyspark.sql.types import (
 )
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
+from .javaspace import ASCII_TRIM as _ASCII_TRIM, WS_CLS as _WS_CLS
 
 # Anchored forms of parser/package.scala:19-27 (fullmatch semantics).
-_RE_TYPE = r"\A(insert|update|delete)\s"
-_RE_INSERT = r'\Ainsert into ".+"[(](.+)[)] values [(](.+)[)];\Z'
-_RE_DELETE = r'\Adelete from ".+" where (.+);\Z'
-_RE_UPDATE = r'\Aupdate ".+" set (.+) = (.+) where (.+) = (.+) and .*;\Z'
-_RE_ATTR_VALUE = re.compile(r"\A(.+) = (.+)\Z")
+# The reference patterns run under JAVA regex semantics, which differ
+# from Python's on two char classes — spelled out explicitly so the
+# kernel stays byte-parity on hostile unicode input:
+#   * Java \s is ASCII-only [ \t\n\x0b\f\r]; Python \s also matches
+#     NBSP and the Zs set ("insert into" must NOT classify).
+#   * Java . excludes ALL line terminators (\n \r \x85 U+2028 U+2029);
+#     Python . excludes only \n — a \x85 inside a value makes the
+#     reference's insertPattern fail (crash → our reject), so the
+#     kernel must reject it too (tests/test_unicode_parity.py).
+_S = r"[ \t\n\x0b\f\r]"       # Java regex \s
+_D = "[^\n\r\x85\u2028\u2029]"  # Java regex . (no line terminators)
+_RE_TYPE = rf"\A(insert|update|delete){_S}"
+_RE_INSERT = rf'\Ainsert into "{_D}+"[(]({_D}+)[)] values [(]({_D}+)[)];\Z'
+_RE_DELETE = rf'\Adelete from "{_D}+" where ({_D}+);\Z'
+_RE_UPDATE = (
+    rf'\Aupdate "{_D}+" set ({_D}+) = ({_D}+)'
+    rf' where ({_D}+) = ({_D}+) and {_D}*;\Z'
+)
+_RE_ATTR_VALUE = re.compile(rf"\A({_D}+) = ({_D}+)\Z")
 _RE_TABLE = (
-    r'\A(insert|update|delete)(\s|\sinto\s|\sfrom\s)(".*")([(]|\sset|\swhere).*;\Z'
+    rf'\A(insert|update|delete)({_S}|{_S}into{_S}|{_S}from{_S})'
+    rf'("{_D}*")([(]|{_S}set|{_S}where){_D}*;\Z'
 )
 
 PARSED_STRUCT = StructType(
@@ -121,14 +137,18 @@ def parse_record_batch(text: pd.Series, strptime_fmt: str) -> pd.DataFrame:
     # ONE pass: statement line + id line + split(" ", 2) of the id line
     # (row id before first space, timestamp remainder), skipping blank
     # lines before either line.
+    # blank-line skip = String.isBlank (Character.isWhitespace set, NOT
+    # Python \s — NBSP lines are statement lines to the reference);
+    # edge-trims = String.trim (chars <= \x20, NOT Python strip() which
+    # eats NBSP) — functions/javaspace.py, probed vs the binary
     chunk = text.str.extract(
-        r"\A(?:[^\S\n]*\n)*([^\n]*)\n(?:[^\S\n]*\n)*([^ \n]*)(?: ([^\n]*))?",
+        rf"\A(?:{_WS_CLS}*\n)*([^\n]*)\n(?:{_WS_CLS}*\n)*([^ \n]*)(?: ([^\n]*))?",
         expand=True,
     )
-    stmt = chunk[0].str.strip()
+    stmt = chunk[0].str.strip(_ASCII_TRIM)
     row_id = chunk[1]
     ts_raw = (
-        chunk[2].str.strip().str.replace(" +", " ", regex=True)
+        chunk[2].str.strip(_ASCII_TRIM).str.replace(" +", " ", regex=True)
     )
     ts = pd.to_datetime(ts_raw, format=strptime_fmt, errors="coerce")
     idline = chunk[1]  # null ⇔ no id line at all

@@ -31,8 +31,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
+from .javaspace import WS_CLS as _WS_CLS, java_trim
 
-_RE_CHUNK = r"\A(?:[^\S\n]*\n)*([^\n]*)\n(?:[^\S\n]*\n)*([^ \n]*)( [^\n]*)?"
+# blank-line skip = String.isBlank (Character.isWhitespace), a WIDER
+# set than Java regex's own [^\S\n] ([ \t\x0b\f\r]) — it adds
+# \x1c-\x1f and the Zs/Zl/Zp separators; see functions/javaspace.py.
+# The statement patterns below are Java regex run BY Java — their \s
+# and . are the reference's own semantics by construction.
+_RE_CHUNK = (
+    rf"\A(?:{_WS_CLS}*\n)*([^\n]*)\n(?:{_WS_CLS}*\n)*([^ \n]*)( [^\n]*)?"
+)
 _RE_TYPE = r"\A(insert|update|delete)\s"
 _RE_INSERT = r'\Ainsert into ".+"[(](.+)[)] values [(](.+)[)];\Z'
 _RE_DELETE = r'\Adelete from ".+" where (.+);\Z'
@@ -101,14 +109,16 @@ def parse_documents_sql(
     cols = [c for c in keep_cols if c in df.columns]
     t = F.col(text_col)
 
-    has_idline = F.regexp_like(t, F.lit(r"\A(?:[^\S\n]*\n)*[^\n]*\n"))
+    has_idline = F.regexp_like(t, F.lit(rf"\A(?:{_WS_CLS}*\n)*[^\n]*\n"))
     # Gate chunk fields on an actual chunk match: regexp_extract returns
     # '' (not null) on a non-matching text, while the pandas kernel
     # leaves all chunk fields null — normalize to the kernel's contract.
-    stmt = F.when(has_idline, F.trim(F.regexp_extract(t, _RE_CHUNK, 1)))
+    # java_trim, not F.trim: String.trim strips every char <= \x20
+    # (Spark's trim removes only ' ') — javaspace.py
+    stmt = F.when(has_idline, java_trim(F.regexp_extract(t, _RE_CHUNK, 1)))
     row_id = F.when(has_idline, F.regexp_extract(t, _RE_CHUNK, 2))
     ts_raw = F.regexp_replace(
-        F.trim(F.regexp_extract(t, _RE_CHUNK, 3)), " +", " "
+        java_trim(F.regexp_extract(t, _RE_CHUNK, 3)), " +", " "
     )
 
     fmt = cfg.ts_format_java

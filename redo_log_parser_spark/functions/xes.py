@@ -5,8 +5,12 @@ whole XES rendering stays inside whole-stage codegen; no UDFs.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_PY_CTRL_DROP = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 
 def xes_timestamp(ts: Column) -> Column:
@@ -42,8 +46,19 @@ def xes_event_name(include_update_values: bool = False) -> Column:
     )
 
 
+# scala.xml Utility.escape silently DROPS control characters below
+# 0x20 except \t \n \r (the "else return unit" branch of its per-char
+# fold) — probed against the in-sandbox binary: 'x\x0b\x0by' and
+# 'x\f\fy' both serialize as 'xy', and a value padded past the
+# 200-col PrettyPrinter threshold with \x0b stays INLINE (the drop
+# happens at escape time, BEFORE the layout length test).
+_CTRL_DROP = "[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
 def xml_escape_attr(c: Column) -> Column:
-    """XML attribute escaping via a replace chain (& first)."""
+    """XML attribute escaping via a replace chain (& first), with the
+    scala.xml control-char drop (see _CTRL_DROP note)."""
+    c = F.regexp_replace(c, _CTRL_DROP, "")
     c = F.replace(c, F.lit("&"), F.lit("&amp;"))
     c = F.replace(c, F.lit("<"), F.lit("&lt;"))
     c = F.replace(c, F.lit(">"), F.lit("&gt;"))
@@ -113,17 +128,37 @@ def trace_xml_pretty(traces: DataFrame, width: int = 200, step: int = 2) -> Data
     #   3. otherwise                   → {i_leaf}{open_tag_RAW} then
     #      </string> at column 0 (makeBox(cur=…) after the para path)
     # In chars of the escaped name: test = 37 + len(collapsed_escaped),
-    # open_tag = 36 + len(raw_escaped).
+    # open_tag = 36 + len(raw_escaped). "chars" means UTF-16 CODE UNITS
+    # (Scala String.length): an astral char (emoji) counts 2. Probed
+    # against the binary under -Dfile.encoding=UTF-8: with four U+1F600
+    # in the name the inline→open cutover lands at code-point length
+    # 158→159 — exactly unit length 162→163 — and the indented-</string>
+    # window at unit length 163 (tests/test_unicode_parity.py).
+    def _utf16_len(c):
+        # F.length counts code points; each astral char is one more unit
+        return F.length(c) + F.length(
+            F.regexp_replace(c, r"[^\x{10000}-\x{10FFFF}]", "")
+        )
+
     def str_el_lines(e):
         raw = xml_escape_attr(e["event_name"])
+        # TextBuffer collapse set is exactly {\t \n \r ' '}: after the
+        # escape-time control-char drop those are the only Java \s
+        # chars left, and unicode spaces (NBSP probed) are NOT touched
         col = F.regexp_replace(raw, r"\s+", " ")
         prefix = i_leaf + '<string key="concept:name" value="'
         inline = F.concat(F.lit(prefix), col, F.lit('"/>'))
-        open_raw = F.concat(F.lit(prefix), raw, F.lit('">'))
+        # regimes 2/3 emit startTag's UNcollapsed value, but the
+        # XML.loadString reparse before XML.save applies XML
+        # attribute-value normalization (\t \n \r -> ' ', runs kept):
+        # per-char translate, AFTER the threshold (lengths unchanged)
+        open_raw = F.concat(
+            F.lit(prefix), F.translate(raw, "\t\r", "  "), F.lit('">')
+        )
         return (
-            F.when(F.length(col) <= width - 38, inline)
+            F.when(_utf16_len(col) <= width - 38, inline)
             .when(
-                F.length(raw) <= width - 37,
+                _utf16_len(raw) <= width - 37,
                 F.concat(open_raw, F.lit("\n" + i_leaf + "</string>")),
             )
             .otherwise(F.concat(open_raw, F.lit("\n</string>")))
@@ -153,7 +188,9 @@ def trace_xml_pretty(traces: DataFrame, width: int = 200, step: int = 2) -> Data
 
 
 def py_xml_escape_attr(s: str) -> str:
-    """Driver-side twin of xml_escape_attr (scala.xml Utility.escape set)."""
+    """Driver-side twin of xml_escape_attr (scala.xml Utility.escape set,
+    including the control-char drop)."""
+    s = _PY_CTRL_DROP.sub("", s)
     return (
         s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         .replace('"', "&quot;")

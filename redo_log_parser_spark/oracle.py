@@ -29,16 +29,25 @@ from dataclasses import dataclass, field
 from datetime import datetime
 
 from .config import PipelineConfig, DEFAULT_CONFIG
+from .functions.javaspace import py_is_blank, py_java_trim
 
 # Regexes lifted verbatim from parser/package.scala:19-27. Scala's
 # `val pattern(g...) = s` requires a FULL match, so re.fullmatch is used.
-STATEMENT_TYPE_RE = re.compile(r"(insert|update|delete)\s.*")
-INSERT_RE = re.compile(r'insert into ".+"[(](.+)[)] values [(](.+)[)];')
-DELETE_RE = re.compile(r'delete from ".+" where (.+);')
-UPDATE_RE = re.compile(r'update ".+" set (.+) = (.+) where (.+) = (.+) and .*;')
-ATTR_VALUE_RE = re.compile(r"(.+) = (.+)")
+# \s and . are spelled out as their JAVA semantics (Python's are wider:
+# \s matches NBSP/Zs, . refuses only \n) — functions/javaspace.py and
+# functions/parse.py carry the same classes.
+_S = r"[ \t\n\x0b\f\r]"       # Java regex \s
+_D = "[^\n\r\x85\u2028\u2029]"  # Java regex . (no line terminators)
+STATEMENT_TYPE_RE = re.compile(rf"(insert|update|delete){_S}{_D}*")
+INSERT_RE = re.compile(rf'insert into "{_D}+"[(]({_D}+)[)] values [(]({_D}+)[)];')
+DELETE_RE = re.compile(rf'delete from "{_D}+" where ({_D}+);')
+UPDATE_RE = re.compile(
+    rf'update "{_D}+" set ({_D}+) = ({_D}+) where ({_D}+) = ({_D}+) and {_D}*;'
+)
+ATTR_VALUE_RE = re.compile(rf"({_D}+) = ({_D}+)")
 TABLE_RE = re.compile(
-    r'(insert|update|delete)(\s|\sinto\s|\sfrom\s)(".*")([(]|\sset|\swhere).*;'
+    rf'(insert|update|delete)({_S}|{_S}into{_S}|{_S}from{_S})'
+    rf'("{_D}*")([(]|{_S}set|{_S}where){_D}*;'
 )
 
 
@@ -84,16 +93,18 @@ class ParsedEntry:
 
 
 def chunk_lines(lines: list[str]) -> list[list[str]]:
-    """FileParser.scala:22: drop blank lines, group in pairs."""
-    nonblank = [ln for ln in lines if ln.strip() != ""]
+    """FileParser.scala:22: drop blank lines (String.isBlank — the
+    Character.isWhitespace set, not Python's), group in pairs."""
+    nonblank = [ln for ln in lines if not py_is_blank(ln)]
     return [nonblank[i : i + 2] for i in range(0, len(nonblank), 2)]
 
 
 def parse_chunk(chunk: list[str], cfg: PipelineConfig) -> tuple[str, str, datetime]:
-    """translateChunkToLogEntry (FileParser.scala:52-61)."""
-    statement = chunk[0].strip()
+    """translateChunkToLogEntry (FileParser.scala:52-61). Edge trims are
+    String.trim (<= \\x20), not Python strip()."""
+    statement = py_java_trim(chunk[0])
     row_id, _, rest = chunk[1].partition(" ")  # split(" ", 2)
-    ts_string = re.sub(" +", " ", rest.strip())
+    ts_string = re.sub(" +", " ", py_java_trim(rest))
     ts = datetime.strptime(ts_string, cfg.ts_format_strptime)
     return statement, row_id, ts
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.javaspace import not_blank_line
+
 
 def read_log_files(spark: SparkSession, path: str) -> DataFrame:
     """Return a documents-shaped frame (url, text) from raw redo-log
@@ -33,8 +35,11 @@ def read_log_files(spark: SparkSession, path: str) -> DataFrame:
     lines = files.select(
         "file",
         F.filter(
+            # the reference drops lines by String.isBlank — a wider set
+            # than trim()=='' (e.g. a 　-only line is blank to it,
+            # an NBSP-only line is NOT) — functions/javaspace.py
             F.split(F.col("value"), "\n"),
-            lambda ln: F.trim(ln) != "",
+            not_blank_line,
         ).alias("lines"),
     )
     # ceil, not floor: a file with an odd number of non-blank lines has a
@@ -86,14 +91,24 @@ def explode_log_records(
     (missing id line) — the reference CRASHES there (chunk(1) index
     error); this repo's policy turns reference crashes into observable
     rejects. All-blank or empty text cells yield no rows (filterNot
-    semantics)."""
+    semantics).
+
+    ORDERING CONTRACT: downstream incarnation/discovery order is
+    (parsed ts, url). Exploding preserves statement order exactly when
+    doc urls sort in packing order within every equal-ts tie (e.g. one
+    zero-padded sequence space, as tests/fuzzgen.records_to_packed_
+    documents builds). Packing that straddles an equal-ts tie whose
+    urls come from DIFFERENT lexicographic ranges (multi-host bursts)
+    re-breaks that tie by the packed doc's base url — same multiset of
+    events, possibly different incarnation split within the tie. That
+    is inherent to any url-rewriting step, not specific to this one."""
     other = [c for c in docs.columns if c != text_col]
     staged = docs.select(
         *other,
         # named array column: the chunking transform references it
         # repeatedly and interpreted Projects have no CSE (PLANS §10)
         F.filter(
-            F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != ""
+            F.split(F.col(text_col), "\n"), not_blank_line
         ).alias("__lines"),
     )
     chunks = F.expr(

@@ -48,6 +48,27 @@ _NAME_POOL = [
 ]
 _STATE_POOL = ["created", "checking", "confirmed", "paid", "sent", "void"]
 
+# Unicode-axis value pool (round 5). Everything here SURVIVES the
+# reference under a UTF-8 locale (probed): BMP multibyte, astral
+# (surrogate-pair) chars, NBSP (NOT Java whitespace — never trimmed,
+# never TextBuffer-collapsed), space runs adjacent to multibyte chars.
+# The long entries land the updvals event name around the
+# PrettyPrinter 200-col cutover, where UTF-16-unit vs code-point
+# accounting diverges (functions/xes.py). Excluded crash shapes, like
+# ','  for ASCII: \x85     inside values (Java regex . refuses
+# them -> reference insertPattern MatchError).
+_UNI_POOL = [
+    "café", "中文值", "Ωmega", "naïve Ärger", "ß-groß",
+    "😀😀", "x😀y", "🐍snake", "ab😀 中",
+    "x y", " nb-lead", "nb-trail ",
+    "two  spaces😀", "中  文",
+] + [
+    # threshold-straddlers: 6 astral chars each (u16 = cp + 6); cp
+    # lengths chosen so escaped event names sweep the 162/163 window
+    # across the varying table/attr-name bases
+    "😀" * 6 + "a" * n for n in (64, 72, 80, 88, 96, 104, 140)
+]
+
 
 class _ColSpec:
     """Value generator for one column."""
@@ -76,6 +97,8 @@ class _ColSpec:
             return str(rng.randrange(self.small))
         if self.kind == "name":
             return rng.choice(_NAME_POOL)
+        if self.kind == "uname":
+            return rng.choice(_UNI_POOL)
         if self.kind == "state":
             return _STATE_POOL[0]
         if self.kind == "fk":
@@ -126,6 +149,7 @@ def fuzz_statements(
     *,
     n_tables_range: tuple[int, int] = (2, 4),
     dup_col_prob: float = 0.0,
+    uni_prob: float = 0.0,
 ) -> tuple[list[Stmt], list[str]]:
     """Return (statements, table_ids). Deterministic per seed.
 
@@ -140,7 +164,11 @@ def fuzz_statements(
         TWICE with two different values — the reference's insert
         extraction folds them through a mutable.HashMap (FileParser
         .scala:100-110), silently keeping the LAST value; the engine
-        must agree end-to-end."""
+        must agree end-to-end.
+      * uni_prob: probability a name-kind column draws from _UNI_POOL
+        (BMP multibyte / astral / NBSP / PrettyPrinter-threshold
+        straddlers) instead of _NAME_POOL. Pair with render_log
+        ws_style='unicode' and run the binary with utf8=True."""
     rng = random.Random(seed)
     rng_axis = random.Random(seed * 101 + 13)  # new-axis stream only
     n_tables = rng.randint(*n_tables_range)
@@ -161,6 +189,9 @@ def fuzz_statements(
         for extra, kind in (("NAME", "name"), ("STATE", "state"),
                             ("AMOUNT", "dup")):
             if rng.random() < 0.5:
+                if (kind == "name" and uni_prob
+                        and rng_axis.random() < uni_prob):
+                    kind = "uname"
                 tcols[extra] = _ColSpec(kind, rng)
         ins_cols[t] = list(tcols)
         # LATE-BORN column (round 4): never in any insert — introduced
@@ -298,19 +329,41 @@ def _fmt_ts_styled(ts: datetime, i: int, ts_style: str) -> str:
     raise ValueError(f"unknown ts_style {ts_style!r}")
 
 
+# isBlank-true separator lines for ws_style='unicode': every entry is
+# blank to String.isBlank (Character.isWhitespace per char) so the
+# reference drops it before pairing — 　 ideographic space, \x1c-\x1d
+# file/group separators, Zs runs,   LINE SEPARATOR (NOT a line
+# break to getLines/BufferedReader — it arrives as a 1-char line),
+# ogham   +  . NBSP is deliberately ABSENT: an NBSP-only
+# line is NOT blank to Java and shifts the pairing (a reference-crash
+# shape, probed — covered by test_unicode_parity instead).
+_UNI_SEPS = ["", "\u3000", " \t ", "\x1c\x1d",
+             "\u2000\u2009\u200a", "\u2028", "\u1680\u205f",
+             "  "]
+_STMT_PADS = ("", " ", "\t")  # inside String.trim's <=0x20 set
+
+
 def render_log(
-    records: list[tuple[Stmt, datetime]], ts_style: str = "default"
+    records: list[tuple[Stmt, datetime]], ts_style: str = "default",
+    ws_style: str = "plain",
 ) -> str:
     """Reference file layout: 2-line chunks + whitespace-only separator
-    lines, trailing-space noise."""
+    lines, trailing-space noise. ws_style='unicode' swaps the separator
+    lines for the _UNI_SEPS pool (all String.isBlank), pads statements
+    with \\t as well as spaces, and inserts an occasional blank line
+    BETWEEN a statement line and its id line."""
     out: list[str] = []
+    uni = ws_style == "unicode"
     for i, (s, ts) in enumerate(records):
-        out.append(s.statement + " " * (i % 3))
+        pad = _STMT_PADS[i % 3] if uni else " " * (i % 3)
+        out.append(s.statement + pad)
+        if uni and i % 5 == 2:
+            out.append(_UNI_SEPS[(i + 3) % len(_UNI_SEPS)])
         out.append(
             f"{s.row_id} {' ' * (i % 2)}{_fmt_ts_styled(ts, i, ts_style)}"
             .ljust(80)
         )
-        out.append(" " * (i % 2))
+        out.append(_UNI_SEPS[i % len(_UNI_SEPS)] if uni else " " * (i % 2))
     return "\n".join(out) + "\n"
 
 
@@ -335,7 +388,8 @@ def records_to_documents(records: list[tuple[Stmt, datetime]]):
 
 
 def records_to_packed_documents(
-    records: list[tuple[Stmt, datetime]], seed: int
+    records: list[tuple[Stmt, datetime]], seed: int,
+    ws_style: str = "plain",
 ):
     """Multi-statement-per-doc axis: consecutive records packed 1-5 per
     text cell (with blank/whitespace separator noise between chunks,
@@ -344,9 +398,13 @@ def records_to_packed_documents(
     one-record-per-doc frame. warc_ts = FIRST packed record's ts; urls
     zero-padded by first record seq, so after exploding (which appends a
     zero-padded '#kkkk' position suffix) (warc_ts, url) ordering is
-    again exactly statement order."""
+    again exactly statement order. ws_style='unicode' draws the
+    separator noise from the _UNI_SEPS isBlank pool and pads statements
+    from _STMT_PADS — exercising explode_log_records' String.isBlank
+    line drop (javaspace.not_blank_line) on unicode separators."""
     import pandas as pd
 
+    uni = ws_style == "unicode"
     rng = random.Random(seed * 977 + 3)
     rows, i = [], 0
     while i < len(records):
@@ -354,8 +412,11 @@ def records_to_packed_documents(
         chunk_lines = []
         for j, (s, ts) in enumerate(records[i:i + k]):
             if j and rng.random() < 0.5:
-                chunk_lines.append(" " * rng.randrange(3))  # separator noise
-            chunk_lines.append(s.statement + " " * (j % 2))
+                chunk_lines.append(
+                    _UNI_SEPS[rng.randrange(len(_UNI_SEPS))] if uni
+                    else " " * rng.randrange(3))  # separator noise
+            pad = _STMT_PADS[j % 3] if uni else " " * (j % 2)
+            chunk_lines.append(s.statement + pad)
             chunk_lines.append(f"{s.row_id} {_fmt_ts(ts)}".ljust(78))
         rows.append({
             "url": f"https://fuzz.example/{i:08d}",
@@ -369,10 +430,11 @@ def records_to_packed_documents(
 
 
 def write_fuzz_log(
-    seed: int, path: str, ts_style: str = "default", **gen_kwargs
+    seed: int, path: str, ts_style: str = "default",
+    ws_style: str = "plain", **gen_kwargs
 ) -> list[str]:
     """Generate, render and write the seed's log; return its table ids."""
     records, tables = fuzz_records(seed, **gen_kwargs)
     with open(path, "w", encoding="utf-8") as f:
-        f.write(render_log(records, ts_style))
+        f.write(render_log(records, ts_style, ws_style))
     return tables

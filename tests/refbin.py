@@ -83,16 +83,24 @@ def run_reference(
     strict: bool = False,
     updvals: bool = False,
     timeout: int = 120,
+    utf8: bool = False,
 ) -> tuple[str, str | None]:
     """Run the real reference pipeline (RefDriver3) on `log_path`.
 
     root='-' skips trace/XES generation. Returns (schema_dump_text,
     xes_text_or_None). Raises on a non-zero exit (the caller decides
-    whether a reference crash is itself the expected behavior)."""
+    whether a reference crash is itself the expected behavior).
+
+    utf8=True launches the JVM with -Dfile.encoding=UTF-8 so
+    Source.fromFile (FileReader.scala:18, default charset) decodes the
+    log as UTF-8 — the sandbox JVM defaults to US-ASCII, which mangles
+    every non-ASCII byte to U+FFFD. The unicode fuzz axis pins parity
+    against the UTF-8-locale configuration any real deployment runs."""
     cp = ensure_reference_build()
     assert cp is not None, "reference build unavailable"
     flags = [f for f, on in (("strict", strict), ("updvals", updvals)) if on]
-    cmd = ["java", "-cp", cp, "RefDriver3", log_path, root, out_path,
+    enc = ["-Dfile.encoding=UTF-8"] if utf8 else []
+    cmd = ["java", *enc, "-cp", cp, "RefDriver3", log_path, root, out_path,
            ts_pattern] + flags
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
     if res.returncode != 0:

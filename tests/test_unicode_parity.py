@@ -1,0 +1,205 @@
+"""Unicode byte-parity vs the REAL reference binary (round 5).
+
+The sandbox JVM's default charset is US-ASCII, so the binary runs with
+-Dfile.encoding=UTF-8 (refbin.run_reference(utf8=True)) — parity is
+pinned against the UTF-8-locale configuration every real deployment
+uses. Three semantics families are covered, each probed first and then
+modeled in the engine:
+
+1. PrettyPrinter's 200-col threshold counts UTF-16 CODE UNITS (Scala
+   String.length): an astral char (U+1F600) counts 2. The engine's
+   trace_xml_pretty previously used F.length (code points) — wrong by
+   k units for k astral chars (functions/xes.py::_utf16_len).
+2. scala.xml Utility.escape DROPS control chars < 0x20 except \t\n\r
+   (BEFORE the threshold), and the XML.loadString reparse normalizes
+   raw \t in regime-2/3 open-tag values to spaces.
+3. Blank-line dropping is String.isBlank = Character.isWhitespace —
+   NOT Python \\s (NBSP is a statement line; 　/ /\x1c lines are
+   blank), and edge-trims are String.trim (<= 0x20 only)
+   (functions/javaspace.py; both parsers + oracle aligned).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from redo_log_parser_spark import oracle
+from redo_log_parser_spark.functions.parse import parse_documents
+from redo_log_parser_spark.functions.parse_sql import parse_documents_sql
+from redo_log_parser_spark.functions.xes import (
+    py_xml_escape_attr, trace_xml_pretty)
+from redo_log_parser_spark.operators.rowid import uniquify_row_ids
+from redo_log_parser_spark.operators.schema_discovery import (
+    discover_schema, summarize_schema)
+from redo_log_parser_spark.pipeline import build_traces_df
+from redo_log_parser_spark.sinks.xes import (
+    reference_trace_order, write_xes_document)
+from redo_log_parser_spark.sources.logfile import read_log_files
+
+from refbin import ensure_reference_build, parse_schema_dump, run_reference
+
+
+@pytest.fixture(scope="module")
+def ref_cp():
+    try:
+        cp = ensure_reference_build()
+    except RuntimeError as e:
+        pytest.skip(f"reference build failed: {e}")
+    if cp is None:
+        pytest.skip("Scala toolchain / reference sources unavailable")
+    return cp
+
+
+ROOT = '"SYSTEM"."T"'
+
+
+def _mklog(vals, sep_lines=None):
+    """One table; per value: an insert then an update to that value.
+    Optional separator lines interleaved between records. Timestamps
+    strictly advance so (ts, url) order == file order (the input_hint
+    ordering contract — constant timestamps would make every insert
+    tie and reorder the engine's log view vs the reference's)."""
+    lines = []
+    for i, v in enumerate(vals):
+        rid = f"RID{i:05d}"
+        lines.append(
+            f'insert into "SYSTEM"."T"("ID","NM") values (\'{i}\',\'a\');')
+        lines.append(f"{rid} 26-JAN-2024 10:{i:02d}:00")
+        if sep_lines:
+            lines.append(sep_lines[i % len(sep_lines)])
+        lines.append(
+            f'update "SYSTEM"."T" set "NM" = \'{v}\' where "NM" = \'a\''
+            f" and ROWID = '{rid}';")
+        lines.append(f"{rid} 26-JAN-2024 10:{i:02d}:01")
+    return "\n".join(lines) + "\n"
+
+
+def _threshold_vals():
+    """Escaped updvals event-name lengths sweeping the 200-col cutover
+    with 4 astral chars (unit len = cp len + 4), plus whitespace/escape
+    edge shapes."""
+    base = py_xml_escape_attr('Update NM value of "SYSTEM"."T" entity to ')
+    vals = []
+    for tot_cp in range(155, 172):
+        pad = tot_cp - len(base) - 4
+        if pad >= 0:
+            vals.append("\U0001f600" * 4 + "a" * pad)
+    vals += [
+        "x  y",          # NBSP run: kept, never collapsed
+        "café 中文 Ω",   # BMP multibyte inline
+        "x\x0b\x0by",              # ctrl run: DROPPED by escape
+        "x\f\fy",
+        "a" * (160 - len(base)) + "\x0b\x0b\x0b",  # ctrl past cutover:
+        # dropped BEFORE the length test -> stays inline
+        "x\t\ty" + "b" * (180 - len(base) - 4),    # regime 3 with tabs:
+        # raw in startTag, but reload normalizes \t -> ' ' (no collapse)
+    ]
+    return vals
+
+
+def test_utf16_threshold_xes_bytes(spark, tmp_path, ref_cp):
+    log = tmp_path / "uni.log"
+    log.write_text(_mklog(_threshold_vals()), encoding="utf-8")
+    _, ref_xes = run_reference(
+        str(log), ROOT, str(tmp_path / "ref.xes"), updvals=True, utf8=True)
+
+    docs = read_log_files(spark, str(log))
+    events = uniquify_row_ids(parse_documents(docs)).cache()
+    try:
+        assert events.filter("parse_error is not null").count() == 0
+        cols, ind = discover_schema(events, ind_mode="eager")
+        schema = summarize_schema(cols, ind)
+        traces = build_traces_df(events, schema, ROOT,
+                                 include_update_values=True)
+        out = tmp_path / "ours.xes"
+        write_xes_document(
+            trace_xml_pretty(traces), str(out), ROOT, pretty=True,
+            case_order=reference_trace_order(events, ROOT))
+        got = out.read_text(encoding="utf-8")
+        assert got == ref_xes
+    finally:
+        events.unpersist()
+
+
+def test_unicode_blank_lines_schema(spark, tmp_path, ref_cp):
+    """Separator lines from the isBlank set (　, \\u2028, \\x1c\\x1d,
+    Zs runs) are dropped by the reference before pairing; the engine's
+    three surfaces (pandas kernel, JVM parser, pure-Python oracle) must
+    all agree, including the byte-level console dump."""
+    seps = ["　", " ", "\x1c\x1d", "   ",
+            "  "]
+    vals = ["café", "x y", "中文", "ok", "\U0001f600"]
+    log = tmp_path / "sep.log"
+    log.write_text(_mklog(vals, sep_lines=seps), encoding="utf-8")
+    ref_plain, _ = run_reference(str(log), "-", str(tmp_path / "r.xes"),
+                                 utf8=True)
+
+    docs = read_log_files(spark, str(log))
+    for parse in (parse_documents, parse_documents_sql):
+        events = uniquify_row_ids(parse(docs))
+        assert events.filter("parse_error is not null").count() == 0, parse
+        cols, ind = discover_schema(events, ind_mode="eager")
+        got = summarize_schema(cols, ind).format_console()
+        assert parse_schema_dump(got) == parse_schema_dump(ref_plain), parse
+
+    lines = log.read_text(encoding="utf-8").splitlines()
+    entries = oracle.uniquify_row_ids(oracle.parse_log_lines(lines))
+    assert oracle.reference_console_dump(entries) == ref_plain
+
+
+def test_nbsp_separator_is_reference_crash(spark, tmp_path, ref_cp):
+    """An NBSP-only line is NOT blank to Java — it becomes a statement
+    line, shifts the pairing and crashes the reference (probed). The
+    engine's crash policy: observable rejects, identical across both
+    parsers; the pandas kernel previously treated it as blank (Python
+    \\s includes \\xa0) and parsed CLEANLY where the reference dies."""
+    log = tmp_path / "nbsp.log"
+    log.write_text(
+        'insert into "SYSTEM"."T"("ID") values (\'1\');\n'
+        "RIDB0001 26-JAN-2024 10:00:00\n"
+        "  \n"
+        'insert into "SYSTEM"."T"("ID") values (\'2\');\n'
+        "RIDB0002 26-JAN-2024 10:00:01\n",
+        encoding="utf-8")
+    with pytest.raises(RuntimeError):
+        run_reference(str(log), "-", str(tmp_path / "r.xes"), utf8=True)
+
+    docs = read_log_files(spark, str(log))
+    cmp_cols = ["url", "op", "table_id", "row_id", "ts", "statement",
+                "insert_cols", "insert_vals", "upd_attr", "upd_new",
+                "upd_old", "delete_cols", "delete_vals"]
+    norm = lambda df: df.select(  # noqa: E731
+        *cmp_cols, F.col("parse_error").isNotNull().alias("is_reject"))
+    a = norm(parse_documents(docs))
+    b = norm(parse_documents_sql(docs))
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+    # the NBSP line swallowed record 2's statement slot: rejects exist
+    assert a.filter("is_reject").count() >= 1
+
+
+def test_lineterm_values_reject_in_both_parsers(spark):
+    """Values containing \\x85 / \\u2028 / \\u2029 break the reference's
+    insert pattern (Java . excludes all five line terminators) — a
+    crash there, identical labeled rejects here in BOTH parsers; the
+    kernel's Python regexes previously accepted them (Python . only
+    excludes \\n). NBSP values must PARSE and survive verbatim."""
+    rows = []
+    for i, v in enumerate(["ok\x85v", "w x", "y z", "n b"]):
+        rows.append((
+            f"https://u.example/{i:04d}",
+            f'insert into "SYSTEM"."T"("ID","NM") values '
+            f"('{i}','{v}');\nRID{i:04d}X 26-JAN-2024 10:00:0{i}",
+        ))
+    docs = spark.createDataFrame(rows, "url string, text string")
+    a = parse_documents(docs).orderBy("url")
+    b = parse_documents_sql(docs).orderBy("url")
+    got_a = [(r["parse_error"] is not None, r["insert_vals"])
+             for r in a.collect()]
+    got_b = [(r["parse_error"] is not None, r["insert_vals"])
+             for r in b.collect()]
+    assert got_a == got_b
+    assert [rej for rej, _ in got_a] == [True, True, True, False]
+    assert got_a[3][1] == ["3", "n\xa0b"]  # NBSP survives verbatim

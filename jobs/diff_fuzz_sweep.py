@@ -263,6 +263,16 @@ _AXES = {
     # multi-statement text cells — explode_log_records' line drop must
     # be String.isBlank, not trim()=='' (javaspace.not_blank_line)
     "unipack": ({"uni_prob": 0.6}, True, True, "unicode", True),
+    # round 5 session 3: line terminators rotate \n / \r\n / \r in the
+    # LOG FILE and inside packed text cells (pack_docs=True covers
+    # both) — getLines treats all three as line breaks (probed);
+    # engine twin = sources/logfile._LINE_TERM
+    "crlf": ({}, True, True, "crlf", False),
+    # unicode TABLE/COLUMN names: UTF-16 hashing through the
+    # Scala-HashMap order replicas (console dump, FK tails, trace
+    # groupBy), Java-regex name matching, unicode root-class argv
+    "uniname": ({"uni_name_prob": 0.6, "uni_prob": 0.25}, False, True,
+                "unicode", True),
 }
 
 

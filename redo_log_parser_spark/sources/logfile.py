@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 
 from ..functions.javaspace import not_blank_line
 
+# scala.io.Source.getLines / BufferedReader.readLine line terminators:
+# \r\n (one terminator — listed first), lone \r, lone \n. NOT \x85 or
+# U+2028/U+2029 (those are Java-regex-`.` terminators only; a \x85 in a
+# value reaches the statement patterns and is a reference crash shape —
+# functions/parse.py). Used by both the file reader and the packed-cell
+# exploder so a record handed to the parse kernels is always
+# \n-delimited.
+_LINE_TERM = r"\r\n|\r|\n"
+
 
 def read_log_files(spark: SparkSession, path: str) -> DataFrame:
     """Return a documents-shaped frame (url, text) from raw redo-log
@@ -35,10 +44,14 @@ def read_log_files(spark: SparkSession, path: str) -> DataFrame:
     lines = files.select(
         "file",
         F.filter(
-            # the reference drops lines by String.isBlank — a wider set
-            # than trim()=='' (e.g. a 　-only line is blank to it,
-            # an NBSP-only line is NOT) — functions/javaspace.py
-            F.split(F.col("value"), "\n"),
+            # line split = scala.io.Source.getLines (FileReader.scala:19)
+            # = BufferedReader.readLine terminators \r\n, \r, \n — a
+            # lone-\r (classic-Mac) log is many lines to the reference,
+            # probed vs the binary (fuzz axis `crlf`); \r\n first so the
+            # pair is ONE terminator. Blank-line drop is String.isBlank
+            # — a wider set than trim()=='' (e.g. a 　-only line is
+            # blank to it, an NBSP-only line is NOT) — javaspace.py
+            F.split(F.col("value"), _LINE_TERM),
             not_blank_line,
         ).alias("lines"),
     )
@@ -108,7 +121,9 @@ def explode_log_records(
         # named array column: the chunking transform references it
         # repeatedly and interpreted Projects have no CSE (PLANS §10)
         F.filter(
-            F.split(F.col(text_col), "\n"), not_blank_line
+            # getLines terminator set (see _LINE_TERM): a packed cell
+            # written with \r\n or lone-\r records explodes identically
+            F.split(F.col(text_col), _LINE_TERM), not_blank_line
         ).alias("__lines"),
     )
     chunks = F.expr(

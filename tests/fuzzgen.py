@@ -69,6 +69,21 @@ _UNI_POOL = [
     "😀" * 6 + "a" * n for n in (64, 72, 80, 88, 96, 104, 140)
 ]
 
+# uniname axis (round 5): unicode TABLE/COLUMN names. These flow where
+# values never go — the Scala-HashMap iteration replicas (console table
+# + column order, FK-target tails, trace groupBy order) hash them as
+# UTF-16 code units (surrogate pair = 2 units, scala_order.py), the
+# statement regexes match them under Java `.`, and XES event names
+# carry them through the PrettyPrinter threshold. Probed: the reference
+# survives unicode names (incl. as the root-class argv) under the UTF-8
+# locale. Pools exclude the structural chars the reference's splits
+# can't survive in NAMES: ',' (insert column-list split), '"', '(',
+# ')', ' = ', ' and ', and all line terminators.
+_UNI_TABLE_POOL = ["ÜBERWEISUNGEN", "ЗАКАЗЫ", "订单表", "FAKTURY😀",
+                   "ÉTATS", "NÁKUPY", "ΠΙΝΑΚΑΣ", "ÅRSAK"]
+_UNI_COL_POOL = ["NÄME", "СТАТУС", "金额", "PŘÍZNAK", "C😀L", "ΤΙΜΗ",
+                 "SOMMAIRE", "DÅTO"]
+
 
 class _ColSpec:
     """Value generator for one column."""
@@ -150,6 +165,7 @@ def fuzz_statements(
     n_tables_range: tuple[int, int] = (2, 4),
     dup_col_prob: float = 0.0,
     uni_prob: float = 0.0,
+    uni_name_prob: float = 0.0,
 ) -> tuple[list[Stmt], list[str]]:
     """Return (statements, table_ids). Deterministic per seed.
 
@@ -168,11 +184,25 @@ def fuzz_statements(
       * uni_prob: probability a name-kind column draws from _UNI_POOL
         (BMP multibyte / astral / NBSP / PrettyPrinter-threshold
         straddlers) instead of _NAME_POOL. Pair with render_log
-        ws_style='unicode' and run the binary with utf8=True."""
+        ws_style='unicode' and run the binary with utf8=True.
+      * uni_name_prob: probability a TABLE is renamed from
+        _UNI_TABLE_POOL and each extra COLUMN from _UNI_COL_POOL —
+        unicode identifiers reach the HashMap-order replicas and the
+        statement regexes (a renamed parent also yields a unicode
+        FK column name '<parent>_ID'). Separate rng stream so every
+        other axis's seeds reproduce byte-identically."""
     rng = random.Random(seed)
     rng_axis = random.Random(seed * 101 + 13)  # new-axis stream only
+    rng_names = random.Random(seed * 211 + 5)  # uniname stream only
     n_tables = rng.randint(*n_tables_range)
     tables = _TABLE_POOL[:n_tables]
+    if uni_name_prob:
+        uni_tbl = list(_UNI_TABLE_POOL)
+        rng_names.shuffle(uni_tbl)
+        tables = [
+            uni_tbl.pop() if rng_names.random() < uni_name_prob else t
+            for t in tables
+        ]
     specs: dict[str, dict[str, _ColSpec]] = {}
     id_values: dict[str, list[str]] = {t: [] for t in tables}
     cols_of: dict[str, list[str]] = {}
@@ -186,12 +216,17 @@ def fuzz_statements(
             tcols[f"{parent}_ID"] = _ColSpec(
                 "fk", rng, parent_ids=id_values[parent]
             )
+        uni_col = list(_UNI_COL_POOL)
+        rng_names.shuffle(uni_col)
         for extra, kind in (("NAME", "name"), ("STATE", "state"),
                             ("AMOUNT", "dup")):
             if rng.random() < 0.5:
                 if (kind == "name" and uni_prob
                         and rng_axis.random() < uni_prob):
                     kind = "uname"
+                if (uni_name_prob
+                        and rng_names.random() < uni_name_prob):
+                    extra = uni_col.pop()
                 tcols[extra] = _ColSpec(kind, rng)
         ins_cols[t] = list(tcols)
         # LATE-BORN column (round 4): never in any insert — introduced
@@ -342,6 +377,21 @@ _UNI_SEPS = ["", "\u3000", " \t ", "\x1c\x1d",
              "  "]
 _STMT_PADS = ("", " ", "\t")  # inside String.trim's <=0x20 set
 
+# crlf axis: scala.io.Source.getLines treats \r\n, lone \r and \n all
+# as line terminators (probed vs the binary — a lone-\r classic-Mac log
+# parses identically). Rotation covers every adjacency (\r followed by
+# \r\n, etc.). The engine twin is sources/logfile._LINE_TERM.
+_TERM_POOL = ("\n", "\r\n", "\r", "\r\n", "\n", "\r", "\n")
+
+
+def _join_lines(lines: list[str], ws_style: str) -> str:
+    if ws_style == "crlf":
+        return "".join(
+            ln + _TERM_POOL[i % len(_TERM_POOL)]
+            for i, ln in enumerate(lines)
+        )
+    return "\n".join(lines) + "\n"
+
 
 def render_log(
     records: list[tuple[Stmt, datetime]], ts_style: str = "default",
@@ -351,7 +401,9 @@ def render_log(
     lines, trailing-space noise. ws_style='unicode' swaps the separator
     lines for the _UNI_SEPS pool (all String.isBlank), pads statements
     with \\t as well as spaces, and inserts an occasional blank line
-    BETWEEN a statement line and its id line."""
+    BETWEEN a statement line and its id line. ws_style='crlf' keeps
+    plain separators but rotates the line terminator through
+    \\n / \\r\\n / \\r (_TERM_POOL — getLines treats all three alike)."""
     out: list[str] = []
     uni = ws_style == "unicode"
     for i, (s, ts) in enumerate(records):
@@ -364,7 +416,7 @@ def render_log(
             .ljust(80)
         )
         out.append(_UNI_SEPS[i % len(_UNI_SEPS)] if uni else " " * (i % 2))
-    return "\n".join(out) + "\n"
+    return _join_lines(out, ws_style)
 
 
 def records_to_documents(records: list[tuple[Stmt, datetime]]):
@@ -401,7 +453,10 @@ def records_to_packed_documents(
     again exactly statement order. ws_style='unicode' draws the
     separator noise from the _UNI_SEPS isBlank pool and pads statements
     from _STMT_PADS — exercising explode_log_records' String.isBlank
-    line drop (javaspace.not_blank_line) on unicode separators."""
+    line drop (javaspace.not_blank_line) on unicode separators.
+    ws_style='crlf' joins the packed cell's lines with the rotating
+    \\n / \\r\\n / \\r terminator pool — exercising explode_log_records'
+    getLines-faithful line split (sources/logfile._LINE_TERM)."""
     import pandas as pd
 
     uni = ws_style == "unicode"
@@ -422,7 +477,8 @@ def records_to_packed_documents(
             "url": f"https://fuzz.example/{i:08d}",
             "warc_ts": records[i][1],
             "html": b"",
-            "text": "\n".join(chunk_lines),
+            "text": ("\n".join(chunk_lines) if ws_style != "crlf"
+                     else _join_lines(chunk_lines, ws_style)),
             "lang": "en",
         })
         i += k

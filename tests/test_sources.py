@@ -79,3 +79,43 @@ def test_explode_log_records_pairing_and_order(spark):
     ]
     # carried columns unchanged
     assert all(r["warc_ts"] == t0 and r["lang"] == "en" for r in rows)
+
+
+def test_line_terminators_match_getlines(spark, tmp_path):
+    """scala.io.Source.getLines treats \\r\\n, lone \\r and \\n all as
+    line terminators (probed vs the binary: CRLF and classic-Mac logs
+    parse identically — fuzz axis `crlf`). Both the file reader and the
+    packed-cell exploder must split on the same set; records handed to
+    the parse kernels are rebuilt \\n-delimited."""
+    from redo_log_parser_spark.sources.logfile import (
+        explode_log_records, read_log_files,
+    )
+
+    stmts = [
+        'insert into "SYSTEM"."USERS"("ID") values (\'1\');',
+        "AAAUSR000000000001 04-JUN-2020 01:00:01",
+        'insert into "SYSTEM"."USERS"("ID") values (\'2\');',
+        "AAAUSR000000000002 04-JUN-2020 01:00:02",
+    ]
+    # every terminator adjacency: \r\n, lone \r, \n, and a blank
+    # separator rendered as \r\r\n (two terminators to getLines)
+    raw = (stmts[0] + "\r\n" + stmts[1] + "\r" + "\r\n"
+           + stmts[2] + "\n" + stmts[3] + "\r")
+    p = tmp_path / "cr.log"
+    p.write_bytes(raw.encode())
+    recs = read_log_files(spark, str(p)).orderBy("url").collect()
+    assert [r["text"] for r in recs] == [
+        stmts[0] + "\n" + stmts[1],
+        stmts[2] + "\n" + stmts[3],
+    ]
+
+    t0 = datetime.datetime(2024, 1, 1)
+    docs = spark.createDataFrame(
+        [("u1", t0, raw, "en")],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    ex = explode_log_records(docs).orderBy("url").collect()
+    assert [r["text"] for r in ex] == [
+        stmts[0] + "\n" + stmts[1],
+        stmts[2] + "\n" + stmts[3],
+    ]

@@ -273,6 +273,13 @@ _AXES = {
     # groupBy), Java-regex name matching, unicode root-class argv
     "uniname": ({"uni_name_prob": 0.6, "uni_prob": 0.25}, False, True,
                 "unicode", True),
+    # INTERACTION axis: every individually-clean axis at once —
+    # unicode names × unicode values × duplicate insert columns ×
+    # packed multi-statement cells × unicode separators. Interaction
+    # bugs (e.g. dup-col last-wins on a unicode-named column inside a
+    # packed cell) are what single-axis sweeps can't see.
+    "mixed": ({"uni_name_prob": 0.35, "uni_prob": 0.35,
+               "dup_col_prob": 0.25}, True, True, "unicode", True),
 }
 
 

@@ -273,6 +273,17 @@ _AXES = {
     # groupBy), Java-regex name matching, unicode root-class argv
     "uniname": ({"uni_name_prob": 0.6, "uni_prob": 0.25}, False, True,
                 "unicode", True),
+    # round 5 session 4: source ROWIDs CONTAINING '#' (leading, inside,
+    # doubled, trailing '#2' that LOOKS like an incarnation suffix) —
+    # the deterministic-suffix machinery (uniquify, the xes sink's
+    # prefix-slice incarnation recovery, reference_row_id_map keyed
+    # (orig, k)) must never confuse a literal '#' with its own suffix
+    "hashid": ({"rid_style": "hash"}, False, True, "plain", False),
+    # all-digit ROWIDs (parse as doubles — real Oracle never emits
+    # them, nothing in the reference rejects them): numeric-string keys
+    # through the RowID random-suffix replay, the trace-groupBy HashMap
+    # replica, and the engine's incarnation windows
+    "numrowid": ({"rid_style": "numeric"}, False, True, "plain", False),
     # INTERACTION axis: every individually-clean axis at once —
     # unicode names × unicode values × duplicate insert columns ×
     # packed multi-statement cells × unicode separators. Interaction

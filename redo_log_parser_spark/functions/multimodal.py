@@ -49,6 +49,15 @@ MEDIA_META_SCHEMA = StructType(
 
 FEATURE_DIM = 16
 
+# decode_media(on_error="keep"): MEDIA_META_SCHEMA plus a decode_error
+# column — undecodable rows keep their identity/n_bytes with null
+# metadata instead of failing the whole job (at 100 TB one corrupt
+# payload must not kill a 1000-executor stage; the error rows stay
+# observable and routable, same policy as the parser's reject rows).
+MEDIA_META_ERR_SCHEMA = StructType(
+    MEDIA_META_SCHEMA.fields + [StructField("decode_error", StringType())]
+)
+
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a real decoder: dims and a feature
@@ -237,34 +246,54 @@ def decode_media(
     bytes_col: str = "html",
     kind: str = "image",
     mode: str = "fake",
+    on_error: str = "fail",
 ) -> DataFrame:
     """mapInPandas decode: binary column -> typed metadata + feature
     vector. mode='fake' = hash-derived deterministic stand-in;
-    mode='strict' = real stdlib decoders (see module docstring)."""
+    mode='strict' = real stdlib decoders (see module docstring).
+
+    on_error='fail' (default): a decoder exception fails the job —
+    right for curated corpora where a bad payload means a broken
+    upstream. on_error='keep': undecodable rows survive with null
+    width/height/n_frames/feature and the exception text in an extra
+    `decode_error` column (schema = MEDIA_META_ERR_SCHEMA) — the 100 TB
+    posture, where one corrupt object in a billion must not kill the
+    stage; filter `decode_error IS NULL` for the clean side."""
     if mode not in ("fake", "strict"):
         raise ValueError(f"decode_media: unknown mode {mode!r}")
+    if on_error not in ("fail", "keep"):
+        raise ValueError(f"decode_media: unknown on_error {on_error!r}")
     decode_one = _strict_decode if mode == "strict" else _fake_decode
+    keep_errors = on_error == "keep"
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [
-                decode_one(bytes(b) if b is not None else b"")
-                for b in pdf[bytes_col]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col].astype(str),
-                    "kind": kind,
-                    "n_bytes": [len(b) if b is not None else 0 for b in pdf[bytes_col]],
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
-                    "n_frames": [m[2] for m in metas],
-                    "feature": [m[3] for m in metas],
-                }
-            )
+            metas, errs = [], []
+            for b in pdf[bytes_col]:
+                try:
+                    metas.append(decode_one(bytes(b) if b is not None else b""))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — routed, not hidden
+                    if not keep_errors:
+                        raise
+                    metas.append((None, None, None, None))
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            out = {
+                "media_id": pdf[id_col].astype(str),
+                "kind": kind,
+                "n_bytes": [len(b) if b is not None else 0 for b in pdf[bytes_col]],
+                "width": [m[0] for m in metas],
+                "height": [m[1] for m in metas],
+                "n_frames": [m[2] for m in metas],
+                "feature": [m[3] for m in metas],
+            }
+            if keep_errors:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
     return df.select(id_col, bytes_col).mapInPandas(
-        decode_batches, schema=MEDIA_META_SCHEMA
+        decode_batches,
+        schema=MEDIA_META_ERR_SCHEMA if keep_errors else MEDIA_META_SCHEMA,
     )
 
 

@@ -140,22 +140,34 @@ def with_lsh_bucket(
     base = _matrix_col(emb, planes, "__planes")
     v = F.col(vec_col).cast("array<double>")
     if center_rows:
-        # stage mean and centered vector as NAMED columns — the sig
-        # fold references the vector n_planes times and interpreted
-        # lambdas get no CSE (PLANS.md §10)
-        base = base.withColumn(
-            "__vmean",
-            F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v),
-        ).withColumn(
-            "__vcent", F.transform(v, lambda x: x - F.col("__vmean"))
+        # LET-BIND the row mean and the centered vector via the
+        # single-element-array + lambda-variable idiom. Staging them as
+        # named columns does NOT survive the optimizer: CollapseProject
+        # inlines a once-referenced alias even when that one reference
+        # sits inside a lambda that runs per element/per plane — the
+        # probed plan had the row-mean aggregate INSIDE the per-element
+        # subtract INSIDE the per-plane dot, O(n_planes·dim²)
+        # interpreted work per row (invisible at dim=16, fatal at 768).
+        # Bound, mean and centered vector are each evaluated once per
+        # row under ANY substitution (PLANS §16).
+        mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+        centered = F.get(
+            F.transform(
+                F.array(mean),
+                lambda m: F.transform(v, lambda x: x - m),
+            ),
+            F.lit(0),
         )
-        sig_input = F.col("__vcent")
+        sig = F.get(
+            F.transform(
+                F.array(centered),
+                lambda vc: _sig_from_planes(vc, F.col("__planes")),
+            ),
+            F.lit(0),
+        )
     else:
-        sig_input = v
-    return (
-        base.withColumn("lsh_bucket", _sig_from_planes(sig_input, F.col("__planes")))
-        .drop("__planes", "__vmean", "__vcent")
-    )
+        sig = _sig_from_planes(v, F.col("__planes"))
+    return base.withColumn("lsh_bucket", sig).drop("__planes")
 
 
 def lsh_bucketed_ann(

@@ -32,53 +32,78 @@ from ..functions.javaspace import not_blank_line
 _LINE_TERM = r"\r\n|\r|\n"
 
 
+def _paired_chunks(text) -> "F.Column":
+    """array<struct<seq,seqstr,text>> of 2-line records from one raw
+    text blob, with the reference's exact chunking semantics
+    (FileParser.scala:22):
+
+      * line split = scala.io.Source.getLines terminators (_LINE_TERM —
+        \\r\\n first so the pair is ONE terminator; a lone-\\r
+        classic-Mac log is many lines, probed vs the binary — fuzz
+        axis `crlf`);
+      * blank-line drop = String.isBlank (Character.isWhitespace set —
+        a 　-only line is blank, an NBSP-only line is NOT; javaspace);
+      * remaining lines paired in order. An odd trailing line yields a
+        ONE-line record: the reference crashes there (chunk(1) index
+        error) and this repo's policy turns reference crashes into
+        observable rejects, so get() leaves the missing second line
+        NULL and concat_ws drops it.
+
+    seqstr is the chunk seq zero-padded to the blob's OWN max-seq width
+    (>=4 digits): within a blob every suffix has one width, so
+    lexicographic suffix order == record order at any record count.
+
+    SCALE GUARD — the filtered line array is LET-BOUND once per row via
+    the single-element-array + lambda-variable idiom (array(lines) →
+    transform(..., ls -> ...)). Optimizer rules substitute projected
+    aliases into downstream consumers unconditionally (PushDownPredicate
+    — PLANS §10), and interpreted lambdas have no CSE: with a plain
+    column reference, every get(lines, i) of the pairing transform
+    re-evaluates the whole split+isBlank tree, turning an L-line file
+    into O(L²) regex evals — measured as a 22-minute single task on a
+    reference artifact (round 5 session 4). Bound, any substitution
+    costs at most one extra O(L) array build per consumer."""
+    lines = F.filter(F.split(text, _LINE_TERM), not_blank_line)
+
+    def pair(ls):
+        width = F.greatest(
+            F.lit(4),
+            F.length(
+                (F.ceil(F.size(ls) / 2).cast("int") - F.lit(1)).cast("string")
+            ),
+        )
+        return F.filter(
+            F.transform(
+                ls,
+                lambda ln, i: F.when(
+                    i % 2 == 0,
+                    F.struct(
+                        (i / 2).cast("int").alias("seq"),
+                        F.lpad(
+                            (i / 2).cast("int").cast("string"), width, "0"
+                        ).alias("seqstr"),
+                        F.concat_ws("\n", ln, F.get(ls, i + 1)).alias("text"),
+                    ),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+
+    return F.flatten(F.transform(F.array(lines), pair))
+
+
 def read_log_files(spark: SparkSession, path: str) -> DataFrame:
     """Return a documents-shaped frame (url, text) from raw redo-log
     text files: blank lines dropped, remaining lines paired in order
-    (FileParser.scala:22). warc_ts/lang are absent — the parse kernel
-    extracts ts from the record itself; `url` encodes (file, seq) and is
-    zero-padded so (ts, url) ordering matches file order."""
+    (FileParser.scala:22 — see _paired_chunks). warc_ts/lang are absent
+    — the parse kernel extracts ts from the record itself; `url`
+    encodes (file, seq) and is zero-padded so (ts, url) ordering
+    matches file order."""
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), F.col("value")
     )
-    lines = files.select(
-        "file",
-        F.filter(
-            # line split = scala.io.Source.getLines (FileReader.scala:19)
-            # = BufferedReader.readLine terminators \r\n, \r, \n — a
-            # lone-\r (classic-Mac) log is many lines to the reference,
-            # probed vs the binary (fuzz axis `crlf`); \r\n first so the
-            # pair is ONE terminator. Blank-line drop is String.isBlank
-            # — a wider set than trim()=='' (e.g. a 　-only line is
-            # blank to it, an NBSP-only line is NOT) — javaspace.py
-            F.split(F.col("value"), _LINE_TERM),
-            not_blank_line,
-        ).alias("lines"),
-    )
-    # ceil, not floor: a file with an odd number of non-blank lines has a
-    # trailing orphan statement with no id line. The reference crashes on
-    # it (FileParser.scala chunk of size 1 → translateChunkToLogEntry
-    # index error); this repo's policy converts reference crashes into
-    # observable rejects, so the orphan flows through as a ONE-line
-    # record the parse kernel flags (missing id line) instead of
-    # silently vanishing.
-    pairs = lines.select(
-        "file",
-        F.expr(
-            # guard: sequence(0, -1) would DESCEND in Spark, fabricating
-            # two junk chunks for an all-blank file — emit none instead
-            # get() (not lines[idx]) so the orphan's missing second line
-            # is NULL (ANSI mode throws on out-of-bounds [] access) —
-            # concat_ws drops the NULL, yielding a one-line record
-            "case when size(lines) = 0 then array() else "
-            "transform(sequence(0, int(ceil(size(lines)/2)) - 1),"
-            " i -> struct(i as seq,"
-            " concat_ws('\\n', get(lines, 2*i), get(lines, 2*i+1)) as text))"
-            " end"
-        ).alias("chunks"),
-    )
-    return pairs.select(
-        "file", F.explode("chunks").alias("c")
+    return files.select(
+        "file", F.explode(_paired_chunks(F.col("value"))).alias("c")
     ).select(
         F.concat_ws(
             "#", F.col("file"), F.format_string("%010d", F.col("c.seq"))
@@ -99,7 +124,11 @@ def explode_log_records(
     column is carried unchanged (an exploded record inherits its doc's
     warc_ts; the parse extracts the per-record ts from the chunk).
     `id_col` gains a zero-padded '#kkkk' position suffix so
-    (warc_ts, url) ordering inside a doc equals record order. An odd
+    (warc_ts, url) ordering inside a doc equals record order; the pad
+    is 4 digits minimum and widens with the doc's own record count
+    (a cell packing >=10,000 records pads to its max seq's width, so
+    the suffixes stay lexicographically ordered at ANY size — a fixed
+    %04d would sort '10000' before '9999'). An odd
     trailing line yields a one-line record the parse kernel flags
     (missing id line) — the reference CRASHES there (chunk(1) index
     error); this repo's policy turns reference crashes into observable
@@ -116,27 +145,11 @@ def explode_log_records(
     events, possibly different incarnation split within the tie. That
     is inherent to any url-rewriting step, not specific to this one."""
     other = [c for c in docs.columns if c != text_col]
-    staged = docs.select(
-        *other,
-        # named array column: the chunking transform references it
-        # repeatedly and interpreted Projects have no CSE (PLANS §10)
-        F.filter(
-            # getLines terminator set (see _LINE_TERM): a packed cell
-            # written with \r\n or lone-\r records explodes identically
-            F.split(F.col(text_col), _LINE_TERM), not_blank_line
-        ).alias("__lines"),
+    # chunking semantics + the O(L²)-substitution scale guard live in
+    # _paired_chunks (the lines array is let-bound per row there)
+    ex = docs.select(
+        *other, F.explode(_paired_chunks(F.col(text_col))).alias("__c")
     )
-    chunks = F.expr(
-        # same guarded pairing as read_log_files (sequence(0,-1) would
-        # DESCEND; get() keeps the orphan's missing second line NULL,
-        # which concat_ws drops)
-        "case when size(__lines) = 0 then array() else "
-        "transform(sequence(0, int(ceil(size(__lines)/2)) - 1),"
-        " i -> struct(i as seq,"
-        " concat_ws('\\n', get(__lines, 2*i), get(__lines, 2*i+1)) as text))"
-        " end"
-    )
-    ex = staged.select(*other, F.explode(chunks).alias("__c"))
     out_cols = []
     for c in docs.columns:
         if c == text_col:
@@ -144,8 +157,7 @@ def explode_log_records(
         elif c == id_col:
             out_cols.append(
                 F.concat_ws(
-                    "#", F.col(id_col),
-                    F.format_string("%04d", F.col("__c.seq")),
+                    "#", F.col(id_col), F.col("__c.seqstr")
                 ).alias(id_col)
             )
         else:

@@ -166,6 +166,7 @@ def fuzz_statements(
     dup_col_prob: float = 0.0,
     uni_prob: float = 0.0,
     uni_name_prob: float = 0.0,
+    rid_style: str = "oracle",
 ) -> tuple[list[Stmt], list[str]]:
     """Return (statements, table_ids). Deterministic per seed.
 
@@ -190,7 +191,19 @@ def fuzz_statements(
         unicode identifiers reach the HashMap-order replicas and the
         statement regexes (a renamed parent also yields a unicode
         FK column name '<parent>_ID'). Separate rng stream so every
-        other axis's seeds reproduce byte-identically."""
+        other axis's seeds reproduce byte-identically.
+      * rid_style: 'oracle' (default, 18-char Oracle-ish) | 'hash'
+        (source ROWIDs CONTAINING '#' — leading, inside, doubled, and
+        a trailing '#2' that LOOKS like an engine incarnation suffix:
+        the deterministic-suffix machinery (uniquify, the sink's
+        prefix-slice incarnation recovery, the reference random-suffix
+        replay keyed (orig, k)) must never confuse a literal '#' in a
+        source id with its own suffix — round-4 ADVICE shape) |
+        'numeric' (all-digit ROWIDs, parse as doubles — the shape real
+        Oracle never emits but nothing in the reference rejects;
+        exercises the RowID HashMap replay + trace groupBy hashing on
+        numeric-string keys). Deterministic transforms of the default
+        ids — no extra rng draws, so other axes reproduce."""
     rng = random.Random(seed)
     rng_axis = random.Random(seed * 101 + 13)  # new-axis stream only
     rng_names = random.Random(seed * 211 + 5)  # uniname stream only
@@ -249,11 +262,29 @@ def fuzz_statements(
 
     # Build per-row op queues (parents first so FK pools are populated).
     queues: list[list[Stmt]] = []
-    for t in tables:
+    for ti, t in enumerate(tables):
         tcols = specs[t]
         n_rows = rng.randint(3, 14)
         for r in range(n_rows):
             rid = _rowid(f"F{seed % 997}{t[:2]}", r)
+            if rid_style == "hash":
+                # '#'-bearing source ids, rotating the nasty shapes.
+                # All stay length 18 except the trailing-'#2' one (20)
+                # — base ids are never ids themselves, so no literal id
+                # can equal another id + '#<digits>' (the engine's
+                # collision raise stays un-triggered; a COLLIDING log
+                # is pinned separately in tests/test_xes_sink.py)
+                v = r % 4
+                if v == 0:
+                    rid = rid[:9] + "#" + rid[10:]
+                elif v == 1:
+                    rid = rid[:6] + "##" + rid[8:]
+                elif v == 2:
+                    rid = "#" + rid[1:]
+                else:
+                    rid = rid + "#2"
+            elif rid_style == "numeric":
+                rid = f"{seed % 997}{ti}{r:03d}"
             ops: list[Stmt] = []
 
             def spawn() -> dict[str, str]:

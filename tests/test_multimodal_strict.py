@@ -178,3 +178,33 @@ def test_strict_decode_through_spark(spark):
         got["png"]["feature"], abs=1e-6)  # same pixels, two containers
     assert got["wav"]["width"] == 16000 and got["wav"]["n_frames"] == 200
     assert got["wav"]["n_bytes"] > 0
+
+
+def test_strict_decode_on_error_keep_routes_bad_rows(spark):
+    """on_error='keep' (the 100 TB posture): one corrupt payload in the
+    batch must not kill the job — it keeps identity + n_bytes, nulls
+    the metadata, and carries the exception text in decode_error;
+    clean rows are byte-identical to the on_error='fail' result."""
+    import pyspark.sql.utils  # noqa: F401
+
+    good = bytearray(b"P6 7 9 255\n" + PX_RGB.tobytes())
+    rows = [
+        ("ok", good),
+        ("bad_magic", bytearray(b"GIF89a not supported")),
+        ("truncated", bytearray(b"P6 7 9 255\n" + PX_RGB.tobytes()[:10])),
+        ("empty", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = decode_media(df, mode="strict", on_error="keep")
+    assert "decode_error" in out.columns
+    got = {r["media_id"]: r for r in out.collect()}
+    assert got["ok"]["decode_error"] is None
+    assert got["ok"]["feature"] == pytest.approx(
+        expected_image_features(PX_RGB), abs=1e-6)
+    for bad in ("bad_magic", "truncated", "empty"):
+        assert got[bad]["width"] is None and got[bad]["feature"] is None
+        assert "ValueError" in got[bad]["decode_error"]
+        assert got[bad]["n_bytes"] == len(dict(rows)[bad])
+    # default stays fail-fast: the same frame raises through Spark
+    with pytest.raises(Exception, match="unsupported magic|truncated"):
+        decode_media(df, mode="strict").collect()

@@ -119,3 +119,38 @@ def test_line_terminators_match_getlines(spark, tmp_path):
         stmts[0] + "\n" + stmts[1],
         stmts[2] + "\n" + stmts[3],
     ]
+
+
+def test_explode_log_records_wide_pad_keeps_order(spark):
+    """A cell packing >=10,000 records must keep url-suffix order ==
+    record order: the pad widens to the doc's own max-seq width (a
+    fixed %04d would sort '#10000' before '#9999'). Small docs keep
+    the 4-digit pad ('#0000')."""
+    from redo_log_parser_spark.sources.logfile import explode_log_records
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    n = 10_002  # 2-line records -> max seq 10_001, width 5
+    big = "\n".join(f"s{i}\nR{i} TS" for i in range(n))
+    docs = spark.createDataFrame(
+        [("u", t0, big, "en"), ("v", t0, "s\nR TS", "en")],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    rows = (
+        explode_log_records(docs)
+        .filter("url like 'u#%'")
+        .orderBy("warc_ts", "url")
+        .select("url", "text")
+        .collect()
+    )
+    assert len(rows) == n
+    assert rows[0]["url"] == "u#00000"
+    assert rows[9999]["url"] == "u#09999"
+    assert rows[10000]["url"] == "u#10000"
+    # sorted-by-url order IS record order, across the 9999/10000 seam
+    assert [r["text"].split("\n")[0] for r in rows] == [
+        f"s{i}" for i in range(n)
+    ]
+    small = (
+        explode_log_records(docs).filter("url like 'v%'").collect()
+    )
+    assert [r["url"] for r in small] == ["v#0000"]

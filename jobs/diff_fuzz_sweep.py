@@ -291,6 +291,11 @@ _AXES = {
     # packed cell) are what single-axis sweeps can't see.
     "mixed": ({"uni_name_prob": 0.35, "uni_prob": 0.35,
                "dup_col_prob": 0.25}, True, True, "unicode", True),
+    # mixed × '#'-bearing ROWIDs: the suffix machinery under unicode
+    # names/values, dup columns AND packed cells at once
+    "mixedhash": ({"uni_name_prob": 0.35, "uni_prob": 0.35,
+                   "dup_col_prob": 0.25, "rid_style": "hash"},
+                  True, True, "unicode", True),
 }
 
 

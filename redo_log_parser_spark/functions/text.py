@@ -143,7 +143,16 @@ def dup_ngram_fraction(toks: Column, n: int = 2) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.when(
-        F.size(grams) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
-    ).otherwise(F.lit(0.0))
+    # LET-BIND the gram array (PLANS §16): the ratio references it
+    # three times and projections have no CSE — unbound, the O(tokens·n)
+    # gram build ran 3x per row
+    return F.get(
+        F.transform(
+            F.array(grams),
+            lambda g: F.when(
+                F.size(g) > 0,
+                F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g),
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0),
+    )

@@ -296,6 +296,12 @@ _AXES = {
     "mixedhash": ({"uni_name_prob": 0.35, "uni_prob": 0.35,
                    "dup_col_prob": 0.25, "rid_style": "hash"},
                   True, True, "unicode", True),
+    # tables under multiple schemas, incl. a forced bare-name collision
+    # ('"SYSTEM"."USERS"' and '"APP"."USERS"' as DISTINCT tables with
+    # different column sets) — any path keying on the bare table name
+    # instead of the full quoted id diverges immediately
+    "multischema": ({"multischema_prob": 0.5}, False, True, "plain",
+                    False),
 }
 
 

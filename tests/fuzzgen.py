@@ -129,23 +129,26 @@ class _ColSpec:
         return self.fresh(rng)
 
 
-def _ins(table: str, row_id: str, cols: list[str], vals: list[str]) -> Stmt:
+def _ins(table_id: str, row_id: str, cols: list[str], vals: list[str]) -> Stmt:
+    """table_id is the FULL quoted '"SCHEMA"."NAME"' id (multischema
+    axis); default callers pass '"SYSTEM"."<name>"' so pre-round-5
+    seeds stay byte-identical."""
     col_s = ",".join(f'"{c}"' for c in cols)
     val_s = ",".join(f"'{v}'" for v in vals)
     return Stmt(
-        f'insert into "SYSTEM"."{table}"({col_s}) values ({val_s});', row_id
+        f'insert into {table_id}({col_s}) values ({val_s});', row_id
     )
 
 
-def _upd(table: str, row_id: str, attr: str, new: str, old: str) -> Stmt:
+def _upd(table_id: str, row_id: str, attr: str, new: str, old: str) -> Stmt:
     return Stmt(
-        f'update "SYSTEM"."{table}" set "{attr}" = \'{new}\' where "{attr}" ='
+        f'update {table_id} set "{attr}" = \'{new}\' where "{attr}" ='
         f" '{old}' and ROWID = '{row_id}';",
         row_id,
     )
 
 
-def _del(table: str, row_id: str, state: dict[str, str],
+def _del(table_id: str, row_id: str, state: dict[str, str],
          full_where: bool, rng: random.Random) -> Stmt:
     if full_where:
         where = " and ".join(f'"{c}" = \'{v}\'' for c, v in state.items())
@@ -153,7 +156,7 @@ def _del(table: str, row_id: str, state: dict[str, str],
         c, v = rng.choice(list(state.items()))
         where = f'"{c}" = \'{v}\''
     return Stmt(
-        f'delete from "SYSTEM"."{table}" where {where} and ROWID ='
+        f'delete from {table_id} where {where} and ROWID ='
         f" '{row_id}';",
         row_id,
     )
@@ -167,6 +170,7 @@ def fuzz_statements(
     uni_prob: float = 0.0,
     uni_name_prob: float = 0.0,
     rid_style: str = "oracle",
+    multischema_prob: float = 0.0,
 ) -> tuple[list[Stmt], list[str]]:
     """Return (statements, table_ids). Deterministic per seed.
 
@@ -203,10 +207,19 @@ def fuzz_statements(
         Oracle never emits but nothing in the reference rejects;
         exercises the RowID HashMap replay + trace groupBy hashing on
         numeric-string keys). Deterministic transforms of the default
-        ids — no extra rng draws, so other axes reproduce."""
+        ids — no extra rng draws, so other axes reproduce.
+      * multischema_prob: probability a table lives under a schema
+        other than "SYSTEM" — and, when it fires at all with >=2
+        tables, the LAST table is additionally renamed to share the
+        FIRST table's BARE name under a different schema (two distinct
+        tables '"SYSTEM"."USERS"' / '"APP"."USERS"' with different
+        column sets): any code path keying on the bare table name
+        instead of the full quoted id diverges immediately. Separate
+        rng stream (seed*409+29)."""
     rng = random.Random(seed)
     rng_axis = random.Random(seed * 101 + 13)  # new-axis stream only
     rng_names = random.Random(seed * 211 + 5)  # uniname stream only
+    rng_schema = random.Random(seed * 409 + 29)  # multischema stream only
     n_tables = rng.randint(*n_tables_range)
     tables = _TABLE_POOL[:n_tables]
     if uni_name_prob:
@@ -216,6 +229,21 @@ def fuzz_statements(
             uni_tbl.pop() if rng_names.random() < uni_name_prob else t
             for t in tables
         ]
+    # full quoted ids; `tables` entries stay the unique generator KEYS
+    full_id = {t: f'"SYSTEM"."{t}"' for t in tables}
+    if multischema_prob:
+        pool = ["APP", "DW", "STAGE"]
+        for t in tables:
+            if rng_schema.random() < multischema_prob:
+                full_id[t] = f'"{rng_schema.choice(pool)}"."{t}"'
+        if len(tables) >= 2 and rng_schema.random() < 0.8:
+            # bare-name collision: last table takes table 0's bare name
+            # under a schema distinct from table 0's current one
+            t0_schema = full_id[tables[0]].split(".")[0].strip('"')
+            sch = rng_schema.choice(
+                [s for s in ["SYSTEM", *pool] if s != t0_schema]
+            )
+            full_id[tables[-1]] = f'"{sch}"."{tables[0]}"'
     specs: dict[str, dict[str, _ColSpec]] = {}
     id_values: dict[str, list[str]] = {t: [] for t in tables}
     cols_of: dict[str, list[str]] = {}
@@ -306,13 +334,13 @@ def fuzz_statements(
                     st[c2] = v2
                     if c2 == "ID":
                         id_values[t].append(v2)
-                ops.append(_ins(t, rid, cols_r, vals_r))
+                ops.append(_ins(full_id[t], rid, cols_r, vals_r))
                 return st
 
             state = spawn()
             if "LATE" in tcols and rng.random() < 0.5:
                 v = tcols["LATE"].fresh(rng)
-                ops.append(_upd(t, rid, "LATE", v, "0"))
+                ops.append(_upd(full_id[t], rid, "LATE", v, "0"))
                 state["LATE"] = v
             for _ in range(rng.randint(0, 3)):
                 upd_pool = [c for c in state
@@ -323,13 +351,13 @@ def fuzz_statements(
                 new = tcols[c].next_update(rng, state[c])
                 if new == state[c]:
                     continue
-                ops.append(_upd(t, rid, c, new, state[c]))
+                ops.append(_upd(full_id[t], rid, c, new, state[c]))
                 state[c] = new
                 if c == "ID":
                     id_values[t].append(new)
             if rng.random() < 0.35:
                 ops.append(
-                    _del(t, rid, state, rng.random() < 0.7, rng)
+                    _del(full_id[t], rid, state, rng.random() < 0.7, rng)
                 )
                 roll = rng.random()
                 if roll < 0.35:
@@ -338,12 +366,12 @@ def fuzz_statements(
                         c = rng.choice(list(state))
                         new = tcols[c].next_update(rng, state[c])
                         if new != state[c]:
-                            ops.append(_upd(t, rid, c, new, state[c]))
+                            ops.append(_upd(full_id[t], rid, c, new, state[c]))
                 elif roll < 0.45:
                     # statement-after-delete restart via update
                     c = rng.choice(list(state))
                     ops.append(
-                        _upd(t, rid, c, tcols[c].fresh(rng), state[c])
+                        _upd(full_id[t], rid, c, tcols[c].fresh(rng), state[c])
                     )
             queues.append(ops)
 
@@ -355,7 +383,7 @@ def fuzz_statements(
         stmts.append(q.pop(0))
         if not q:
             live.remove(q)
-    return stmts, [f'"SYSTEM"."{t}"' for t in tables]
+    return stmts, [full_id[t] for t in tables]
 
 
 def fuzz_records(

@@ -480,3 +480,40 @@ def test_parse_stream_sql_parser_matches_pandas(spark, mini_docs, tmp_path):
     a, b = norm(a), norm(b)
     diff = a.exceptAll(b).unionAll(b.exceptAll(a))
     assert diff.count() == 0
+
+
+def test_streaming_explode_log_records_matches_batch(spark, tmp_path):
+    """explode_log_records is projection+explode only, so it binds to a
+    readStream unchanged (same contract as parse_stream): packed
+    multi-statement text cells exploded + parsed in a stream must equal
+    the batch result exactly."""
+    from fuzzgen import fuzz_records, records_to_packed_documents
+    from redo_log_parser_spark.functions.parse import parse_documents
+    from redo_log_parser_spark.sources.logfile import explode_log_records
+
+    records, _ = fuzz_records(seed=31)
+    pdf = records_to_packed_documents(records, seed=31)
+    src = str(tmp_path / "packed")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    cols = ["url", "op", "table_id", "row_id", "ts", "statement",
+            "parse_error"]
+    batch = parse_documents(explode_log_records(spark.createDataFrame(pdf)))
+    want = sorted(
+        tuple(r) for r in batch.select(*cols).fillna("", subset=["parse_error"]).collect()
+    )
+
+    events = parse_stream(
+        explode_log_records(stream_documents(spark, src)))
+    q = (
+        events.select(*cols).writeStream.outputMode("append")
+        .format("memory").queryName("explode_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "select * from explode_stream"
+        ).fillna("", subset=["parse_error"]).collect()
+    )
+    assert len(got) == len(records) and got == want

@@ -163,16 +163,17 @@ def main() -> int:
         # the text chunk); their zero-padded urls alone give file order
         order_cols = [c for c in ("warc_ts", "url") if c in docs.columns]
         sel = docs.select(*order_cols, "text")
-        n_docs = sel.count()
-        if n_docs > 1_000_000:
+        # one job: the limit both guards and collects (count()-then-
+        # collect() would scan the input twice)
+        rows = sel.orderBy(*order_cols).limit(1_000_001).collect()
+        if len(rows) > 1_000_000:
             raise SystemExit(
-                f"--reference-console-order collects the whole input to "
-                f"the driver ({n_docs} rows > 1,000,000); it replicates "
+                "--reference-console-order collects the whole input to "
+                "the driver (> 1,000,000 rows); it replicates "
                 "the reference CLI's console HashMap order and is meant "
                 "for reference-CLI-sized logs only. Drop the flag to use "
                 "the engine's sorted schema dump for large inputs."
             )
-        rows = sel.orderBy(*order_cols).collect()
         entries = oracle.uniquify_row_ids(
             oracle.parse_records([r["text"] for r in rows], cfg))
         dump = oracle.reference_console_dump(entries, strict=strict)

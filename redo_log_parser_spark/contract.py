@@ -21,6 +21,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .caching import register
 from .functions import text as TXT
 from .functions.parse import parse_documents
 from .functions.parse_sql import parse_documents_sql
@@ -1700,7 +1701,9 @@ def q_multimodal_ann(spark, sf_dir):
     feats = meta.select(
         F.col("media_id").cast("bigint").alias("vec_id"),
         F.col("feature").alias("embedding"),
-    ).cache()  # the pair op reads this 3x (dim probe + both join sides)
+    )
+    feats = register(feats.cache())
+    # the pair op reads feats 3x (dim probe + both join sides)
     # — without the cache the Python decode re-runs each time
     # center_rows: sha256 features are positive-only (near-diagonal),
     # which collapses raw sign-LSH onto a few huge buckets (1.4M

@@ -174,6 +174,17 @@ def _decode_pnm(payload: bytes) -> tuple[int, int, int, list[float]]:
     n_ch = 3 if magic in ("P3", "P6") else 1
     n_vals = width * height * n_ch
     if magic in ("P5", "P6"):
+        # exactly ONE whitespace byte after maxval precedes the raster.
+        # A CR here means the payload went through CRLF/text-mode
+        # translation — the binary raster is untrustworthy (every 0x0A
+        # in it was likely rewritten too), and silently consuming one
+        # byte would decode shifted-by-one pixels that pass the size
+        # check. Strict means surface it, not invent data.
+        if payload[pos:pos + 1] == b"\r":
+            raise ValueError(
+                "PNM strict decode: CR after maxval — CRLF/text-mode "
+                "translated payload, binary raster untrustworthy"
+            )
         pos += 1  # single whitespace after maxval
         vals = np.frombuffer(payload[pos:pos + n_vals], dtype=np.uint8)
     else:

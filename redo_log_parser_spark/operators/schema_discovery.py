@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..caching import register
+
 # far-future sentinel for open-ended validity intervals
 _INF_TS = "9999-12-31 00:00:00"
 
@@ -280,7 +282,7 @@ def inclusion_dependencies(curr: DataFrame, registry: DataFrame) -> DataFrame:
     to the left column's distinct count. Empty columns (possible via
     delete-created columns) are ⊆ every other-table column
     (forall over empty set, SchemaDeriver.scala:63)."""
-    d = curr.select("table_id", "col", "value").distinct().cache()
+    d = register(curr.select("table_id", "col", "value").distinct().cache())
     n = d.groupBy("table_id", "col").agg(F.count("*").alias("n_distinct"))
     a = d.alias("a")
     b = d.alias("b")
@@ -476,7 +478,7 @@ def discover_schema(
     """
     if mono_mode not in ("log", "reference"):
         raise ValueError(f"mono_mode must be 'log' or 'reference', got {mono_mode!r}")
-    writes = column_writes(events, order_cols).cache()
+    writes = register(column_writes(events, order_cols).cache())
     registry = column_registry(writes)
     uniq = pk_uniqueness(writes)
     cols = registry.join(uniq, ["table_id", "col"], "left")

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import register
 from .schema_discovery import SchemaSummary, insert_kv_pairs
 
 
@@ -133,7 +134,7 @@ def propagate_cases(
         adj.setdefault(ft, set()).add(pt)
         adj.setdefault(pt, set()).add(ft)
 
-    edges = edges.cache()
+    edges = register(edges.cache())
     root_actual = next(
         (t for t in schema.tables if t.lower() == root_table.lower()), root_table
     )

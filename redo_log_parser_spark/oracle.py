@@ -179,7 +179,10 @@ def parse_records(records: list[str], cfg: PipelineConfig = DEFAULT_CONFIG) -> l
     """Documents mode: each record is one 2-line text cell."""
     entries = []
     for seq, rec in enumerate(records):
-        chunk = [ln for ln in rec.split("\n") if ln.strip() != ""]
+        # blank-line skip = Java String.isBlank, same as chunk_lines and
+        # both Spark kernels (a NBSP-only line is a STATEMENT line; a
+        # U+001C/U+2028-only line is blank) — review r5s5 parity fix
+        chunk = [ln for ln in rec.split("\n") if not py_is_blank(ln)]
         statement, row_id, ts = parse_chunk(chunk, cfg)
         entries.append(parse_statement(statement, seq, row_id, ts))
     return entries

@@ -129,16 +129,18 @@ def reference_trace_order(
     if "parse_error" in rows.columns:
         rows = rows.filter(F.col("parse_error").isNull())
     rows = rows.select("ts", "url", "orig_row_id", "row_id", "op", "table_id")
-    n_rows = rows.count()
-    if n_rows > max_rows:
+    # ONE job: limit(max_rows + 1) both enforces the guard and collects
+    # (a separate count() would recompute the whole events lineage —
+    # exactly on the large uncached inputs the guard exists for)
+    collected = rows.orderBy("ts", "url").limit(max_rows + 1).collect()
+    if len(collected) > max_rows:
         raise ValueError(
             f"reference_trace_order collects the event log to the driver "
-            f"({n_rows} rows > max_rows={max_rows}); it exists only to "
+            f"(> max_rows={max_rows} rows); it exists only to "
             "replicate the reference CLI's HashMap trace order on "
             "reference-CLI-sized logs. Use the default sorted case_id "
             "order for large inputs, or raise max_rows explicitly."
         )
-    collected = rows.orderBy("ts", "url").collect()
     ref_map = reference_row_id_map(
         [(r["orig_row_id"], r["op"]) for r in collected], seed
     )

@@ -505,7 +505,7 @@ def records_to_packed_documents(
     """Multi-statement-per-doc axis: consecutive records packed 1-5 per
     text cell (with blank/whitespace separator noise between chunks,
     which the reference chunker drops — FileParser.scala:22). Exploding
-    with functions.parse.explode_log_records and parsing must equal the
+    with sources.logfile.explode_log_records and parsing must equal the
     one-record-per-doc frame. warc_ts = FIRST packed record's ts; urls
     zero-padded by first record seq, so after exploding (which appends a
     zero-padded '#kkkk' position suffix) (warc_ts, url) ordering is

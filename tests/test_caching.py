@@ -99,3 +99,34 @@ def test_result_still_correct_after_unpersist(spark, docs):
     )
     spark.catalog.clearCache()
     assert inside == again
+
+
+def test_schema_discovery_and_traces_caches_owned(spark, mini_docs):
+    """review r5s5: the ownership mechanism must cover ALL library
+    per-call cache() sites with lazy results, not just the dedup/ANN
+    four — discover_schema's writes frame, inclusion_dependencies'
+    deduped values, and the case-propagation edge frame."""
+    from redo_log_parser_spark.functions.parse import parse_documents
+    from redo_log_parser_spark.operators.rowid import uniquify_row_ids
+    from redo_log_parser_spark.operators.schema_discovery import (
+        discover_schema, summarize_schema)
+    from redo_log_parser_spark.pipeline import build_traces_df
+
+    events = uniquify_row_ids(parse_documents(mini_docs)).filter(
+        F.col("parse_error").isNull()
+    )
+    mini_docs.count()  # materialize the fixture's own session cache
+    base = _n_persisted(spark)
+
+    with operator_caches() as frames:
+        cols_df, ind_df = discover_schema(events)
+        cols_df.collect()
+        ind_df.collect()
+        schema = summarize_schema(cols_df, ind_df)
+        assert len(frames) >= 2  # writes + IND deduped values
+    assert _n_persisted(spark) == base
+
+    with operator_caches() as frames:
+        build_traces_df(events, schema, "INVOICES", False, 4).collect()
+        assert frames  # the propagation edge frame
+    assert _n_persisted(spark) == base

@@ -208,3 +208,20 @@ def test_strict_decode_on_error_keep_routes_bad_rows(spark):
     # default stays fail-fast: the same frame raises through Spark
     with pytest.raises(Exception, match="unsupported magic|truncated"):
         decode_media(df, mode="strict").collect()
+
+
+def test_crlf_delimited_binary_pnm_raises():
+    """A CR as the single post-maxval delimiter means the payload went
+    through CRLF/text-mode translation — the binary raster is
+    untrustworthy (its 0x0A bytes were likely rewritten too). Silently
+    skipping one byte decoded shifted-by-one pixels that PASSED the
+    size check (review r5s5); strict must surface it, not invent data."""
+    crlf = b"P6 7 9 255\r\n" + PX_RGB.tobytes()
+    with pytest.raises(ValueError, match="CRLF/text-mode"):
+        _strict_decode(crlf)
+    # ASCII formats tokenize on whitespace runs — CRLF headers are fine
+    p2 = b"P2\r\n6 5\r\n255\r\n" + b" ".join(
+        str(v).encode() for v in PX_GRAY.ravel()
+    )
+    w, h, _, feat = _strict_decode(p2)
+    assert (w, h) == (6, 5) and len(feat) == FEATURE_DIM

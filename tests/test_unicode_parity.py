@@ -203,3 +203,40 @@ def test_lineterm_values_reject_in_both_parsers(spark):
     assert got_a == got_b
     assert [rej for rej, _ in got_a] == [True, True, True, False]
     assert got_a[3][1] == ["3", "n\xa0b"]  # NBSP survives verbatim
+
+
+def test_oracle_parse_records_java_blank_semantics(spark):
+    """oracle.parse_records (documents-mode oracle) must drop blank
+    lines with Java String.isBlank, exactly like chunk_lines and both
+    Spark kernels (review r5s5 find: it used Python str.strip, which
+    also eats NBSP/\\x85-only lines Java keeps).
+
+    - \\x1c-only middle line: blank to BOTH Python and Java -> clean
+      parse, oracle == kernel.
+    - NBSP-only middle line: NOT blank to Java -> the NBSP becomes the
+      id line, no timestamp: reference crash (oracle raises), engine
+      labeled reject. The pre-fix oracle silently parsed it clean."""
+    clean_rec = (
+        'insert into "SYSTEM"."T"("ID") values (\'1\');\n\x1c\n'
+        "RID0001X 26-JAN-2024 10:00:01"
+    )
+    nbsp_rec = (
+        'insert into "SYSTEM"."T"("ID") values (\'2\');\n\xa0\n'
+        "RID0002X 26-JAN-2024 10:00:02"
+    )
+
+    [entry] = oracle.parse_records([clean_rec])
+    assert (entry.row_id, entry.op) == ("RID0001X", "insert")
+
+    with pytest.raises(Exception):
+        oracle.parse_records([nbsp_rec])
+
+    docs = spark.createDataFrame(
+        [("https://u.example/0001", clean_rec),
+         ("https://u.example/0002", nbsp_rec)],
+        "url string, text string",
+    )
+    got = {r["url"][-4:]: (r["parse_error"] is None, r["row_id"])
+           for r in parse_documents(docs).collect()}
+    assert got["0001"] == (True, "RID0001X")
+    assert got["0002"][0] is False  # engine: labeled reject

@@ -302,6 +302,35 @@ _AXES = {
     # instead of the full quoted id diverges immediately
     "multischema": ({"multischema_prob": 0.5}, False, True, "plain",
                     False),
+    # multischema × mixed: bare-name collisions with unicode names and
+    # values, dup columns, packed cells and unicode separators — the
+    # colliding bare name may itself be unicode, and the full-id keys
+    # flow through the UTF-16 HashMap order replicas
+    "multimix": ({"multischema_prob": 0.5, "uni_name_prob": 0.35,
+                  "uni_prob": 0.35, "dup_col_prob": 0.25}, True, True,
+                 "unicode", True),
+    # regex-metachar / dot / space / '=' bearing ASCII identifiers
+    # ("OR.DERS", "T(1)", "S=T", "USE RS", …): the reference patterns
+    # are static, so names are opaque data — any engine path that
+    # builds a pattern from a name or splits an id on '.' diverges
+    "metaname": ({"meta_name_prob": 0.6}, False, True, "plain", False),
+    # metaname × multischema × dupcol × packdoc: a dot-bearing bare
+    # name colliding across schemas, metachar names in dup insert
+    # columns inside packed cells
+    "metamix": ({"meta_name_prob": 0.4, "multischema_prob": 0.5,
+                 "dup_col_prob": 0.25}, True, True, "plain", False),
+    # a REAL data column literally named ROWID: the reference drops the
+    # where-clause ROWID pair BY NAME and ONLY in deletes
+    # (SchemaExtractor.scala:58,127) — inserted/updated ROWID is a real
+    # schema column; in deletes it vanishes and its where-pair value
+    # collides with the actual row id pair in the mutable.HashMap
+    "ridcol": ({"ridcol_prob": 0.7}, False, True, "plain", False),
+    # case-colliding table names ('"SYSTEM"."USERS"' + '"SYSTEM"."users"'
+    # as DISTINCT schema entries): the reference's root-bucket gathering
+    # and relations matching are equalsIgnoreCase while the schema map
+    # and bucket assignment are exact — the engine must replicate that
+    # exact mixture
+    "caseclash": ({"caseclash_prob": 0.9}, False, True, "plain", False),
 }
 
 

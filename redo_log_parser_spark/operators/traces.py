@@ -135,13 +135,25 @@ def propagate_cases(
         adj.setdefault(pt, set()).add(ft)
 
     edges = register(edges.cache())
-    root_actual = next(
-        (t for t in schema.tables if t.lower() == root_table.lower()), root_table
+    # Reference case-clash semantics (probed, fuzz axis `caseclash`):
+    # root-bucket GATHERING is equalsIgnoreCase (TraceIDParserHelper
+    # .scala:23 — root_cases already matched both case variants, each
+    # row keeping ITS OWN exact table id), but the relation walk starts
+    # from schema(rootClass.tableID) — the EXACT-case Table object only
+    # (TraceIDParser.scala:73) — and entry assignment is exact
+    # (Helper:51). So a case-sibling's entities found traces containing
+    # only their own entries; they never propagate. root_actual prefers
+    # the exact name; a case-insensitive unique match is kept for the
+    # lenient non-clash path (reference CLI validation is exact,
+    # cli/package.scala:78).
+    root_actual = (
+        root_table if root_table in schema.tables else next(
+            (t for t in schema.tables if t.lower() == root_table.lower()),
+            root_table,
+        )
     )
 
-    assignments = [
-        roots.select(F.lit(root_actual).alias("table_id"), "row_id", "case_id")
-    ]
+    assignments = [roots.select("table_id", "row_id", "case_id")]
 
     def step(table: str, assign: DataFrame, nxt: str) -> DataFrame:
         """rows of `table` with case ids -> related rows of `nxt`."""
@@ -170,7 +182,12 @@ def propagate_cases(
             assignments.append(nxt_assign)
             walk(nxt, nxt_assign, path | {table})
 
-    walk(root_actual, assignments[0].select("row_id", "case_id"), frozenset({root_actual}))
+    walk(
+        root_actual,
+        roots.filter(F.col("table_id") == root_actual)
+        .select("row_id", "case_id"),
+        frozenset({root_actual}),
+    )
     out = assignments[0]
     for a in assignments[1:]:
         out = out.unionByName(a)

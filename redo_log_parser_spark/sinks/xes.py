@@ -147,11 +147,26 @@ def reference_trace_order(
     seen: dict[str, str] = {}
     seen_orig: dict[str, str] = {}
     rt = root_table.lower()
+    # The reference's bucket order is a NESTED groupBy (TraceIDParser
+    # .scala:46-57): outer `logEntries.groupBy(_.tableID)` over ALL
+    # tables — iterated in Scala-Map order, filtered equalsIgnoreCase
+    # to the root (Helper:23) — then per table `groupBy(_.rowID)`.
+    # With case-colliding table names (fuzz axis `caseclash`) BOTH
+    # siblings contribute, each under its own per-table row order, in
+    # the table-map's iteration order over the FULL table-id key set.
+    tables_first: list[str] = []
+    rows_in_table: dict[str, list[str]] = {}
+    tset: set[str] = set()
     for r in collected:
-        if r["table_id"].lower() != rt:
+        t = r["table_id"]
+        if t not in tset:
+            tset.add(t)
+            tables_first.append(t)
+        if t.lower() != rt:
             continue
         cid = r["row_id"]
         if cid not in seen:
+            rows_in_table.setdefault(t, []).append(cid)
             orig = r["orig_row_id"]
             # incarnation index by PREFIX slice against the known orig id
             # (cid == concat(orig, '#', k) by construction) — rsplit would
@@ -176,8 +191,13 @@ def reference_trace_order(
                 "ids containing '#' are ambiguous under the deterministic "
                 "suffix scheme (SURVEY.md §1.3.3)"
             )
-    ref_to_ours = {v: k for k, v in seen.items()}
-    return [
-        ref_to_ours[rid]
-        for rid in scala212_groupby_order(list(seen.values()))
-    ]
+    out: list[str] = []
+    for t in scala212_groupby_order(tables_first):
+        if t.lower() != rt:
+            continue
+        ref_ids = [seen[cid] for cid in rows_in_table.get(t, [])]
+        ours_of = {seen[cid]: cid for cid in rows_in_table.get(t, [])}
+        out.extend(
+            ours_of[rid] for rid in scala212_groupby_order(ref_ids)
+        )
+    return out

@@ -83,6 +83,17 @@ _UNI_TABLE_POOL = ["ÜBERWEISUNGEN", "ЗАКАЗЫ", "订单表", "FAKTURY😀",
                    "ÉTATS", "NÁKUPY", "ΠΙΝΑΚΑΣ", "ÅRSAK"]
 _UNI_COL_POOL = ["NÄME", "СТАТУС", "金额", "PŘÍZNAK", "C😀L", "ΤΙΜΗ",
                  "SOMMAIRE", "DÅTO"]
+# regex-metacharacter / space / '=' bearing ASCII names: the reference
+# patterns are STATIC (no name is ever embedded into a regex), so these
+# must flow through both sides as opaque data — any path that builds a
+# pattern from a name, splits an id on '.', or treats '$'/'('/'[' as
+# syntax diverges. Excluded (reference-crash shapes, same class as the
+# value alphabet): ',' (insert col split), ' and ' (delete pair split),
+# ' = ' (update/attr ambiguity), '"' and ';'.
+_META_TABLE_POOL = ["OR.DERS", "T(1)", "A+B*C", "X$Y", "M[0]", "N{2}",
+                    "P^Q|R", "E#F", "USE RS", "D&G!"]
+_META_COL_POOL = ["N.A+ME", "C(2)", "V*L$", "S=T", "A[1]", "B{9}",
+                  "W^Z|Q", "H#K", "P Q", "R&J~"]
 
 
 class _ColSpec:
@@ -171,6 +182,9 @@ def fuzz_statements(
     uni_name_prob: float = 0.0,
     rid_style: str = "oracle",
     multischema_prob: float = 0.0,
+    meta_name_prob: float = 0.0,
+    ridcol_prob: float = 0.0,
+    caseclash_prob: float = 0.0,
 ) -> tuple[list[Stmt], list[str]]:
     """Return (statements, table_ids). Deterministic per seed.
 
@@ -215,11 +229,36 @@ def fuzz_statements(
         tables '"SYSTEM"."USERS"' / '"APP"."USERS"' with different
         column sets): any code path keying on the bare table name
         instead of the full quoted id diverges immediately. Separate
-        rng stream (seed*409+29)."""
+        rng stream (seed*409+29).
+      * meta_name_prob: probability a TABLE is renamed from
+        _META_TABLE_POOL and each extra COLUMN from _META_COL_POOL —
+        regex-metachar / dot / space / '=' names as opaque data (see
+        the pool comment). Separate rng stream (seed*613+7).
+      * caseclash_prob: probability (when >=2 tables) the LAST table is
+        renamed to the lowercase of the FIRST table's name — two
+        DISTINCT schema entries ('"SYSTEM"."USERS"' / '"SYSTEM"."users"',
+        independent column sets: the reference schema HashMap is
+        case-sensitive) that the reference's trace/relations layers
+        compare with equalsIgnoreCase (TraceIDParserHelper.scala:23
+        root-bucket gathering, RelationsExtractor.scala:205,225
+        reference matching) while bucket ASSIGNMENT is exact
+        (TraceIDParserHelper.scala:51). Separate rng stream
+        (seed*1013+17).
+      * ridcol_prob: probability (per table, at most one column) an
+        extra column is literally named ROWID. The reference filters
+        the where-clause ROWID pair BY NAME and ONLY in delete
+        extraction (SchemaExtractor.scala:58,127) — an inserted or
+        updated column named ROWID is a real schema column, while in a
+        delete it vanishes (and its where-pair value collides with the
+        actual row id in the mutable.HashMap). Separate rng stream
+        (seed*809+11)."""
     rng = random.Random(seed)
     rng_axis = random.Random(seed * 101 + 13)  # new-axis stream only
     rng_names = random.Random(seed * 211 + 5)  # uniname stream only
     rng_schema = random.Random(seed * 409 + 29)  # multischema stream only
+    rng_meta = random.Random(seed * 613 + 7)  # metaname stream only
+    rng_ridcol = random.Random(seed * 809 + 11)  # ridcol stream only
+    rng_case = random.Random(seed * 1013 + 17)  # caseclash stream only
     n_tables = rng.randint(*n_tables_range)
     tables = _TABLE_POOL[:n_tables]
     if uni_name_prob:
@@ -229,6 +268,18 @@ def fuzz_statements(
             uni_tbl.pop() if rng_names.random() < uni_name_prob else t
             for t in tables
         ]
+    if meta_name_prob:
+        meta_tbl = list(_META_TABLE_POOL)
+        rng_meta.shuffle(meta_tbl)
+        tables = [
+            meta_tbl.pop() if rng_meta.random() < meta_name_prob else t
+            for t in tables
+        ]
+    if (caseclash_prob and len(tables) >= 2
+            and rng_case.random() < caseclash_prob):
+        variant = tables[0].lower()
+        if variant != tables[0] and variant not in tables:
+            tables[-1] = variant
     # full quoted ids; `tables` entries stay the unique generator KEYS
     full_id = {t: f'"SYSTEM"."{t}"' for t in tables}
     if multischema_prob:
@@ -259,6 +310,9 @@ def fuzz_statements(
             )
         uni_col = list(_UNI_COL_POOL)
         rng_names.shuffle(uni_col)
+        meta_col = list(_META_COL_POOL)
+        rng_meta.shuffle(meta_col)
+        ridcol_done = False
         for extra, kind in (("NAME", "name"), ("STATE", "state"),
                             ("AMOUNT", "dup")):
             if rng.random() < 0.5:
@@ -268,6 +322,12 @@ def fuzz_statements(
                 if (uni_name_prob
                         and rng_names.random() < uni_name_prob):
                     extra = uni_col.pop()
+                if (meta_name_prob
+                        and rng_meta.random() < meta_name_prob):
+                    extra = meta_col.pop()
+                if (ridcol_prob and not ridcol_done
+                        and rng_ridcol.random() < ridcol_prob):
+                    extra, ridcol_done = "ROWID", True
                 tcols[extra] = _ColSpec(kind, rng)
         ins_cols[t] = list(tcols)
         # LATE-BORN column (round 4): never in any insert — introduced

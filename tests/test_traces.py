@@ -116,3 +116,53 @@ def test_multi_membership(spark_events, spark_schema):
     per_user = user_assign.groupBy("row_id").count().collect()
     # 70 orders over 41 users: some users serve >= 2 order cases
     assert any(r["count"] >= 2 for r in per_user)
+
+
+def test_case_colliding_table_names(spark):
+    """Fuzz axis `caseclash` semantics, pinned in-suite (binary parity
+    in jobs/diff_fuzz_sweep.py --axis caseclash): root-bucket gathering
+    is equalsIgnoreCase (a '"SYSTEM"."t"' entity founds a trace when
+    the root is '"SYSTEM"."T"'), each root row keeps its OWN exact
+    table id, but the relation walk starts from the exact-case root
+    only — the case-sibling's trace contains just its own entries."""
+    from redo_log_parser_spark.pipeline import build_traces_df
+    from redo_log_parser_spark.sinks.xes import reference_trace_order
+
+    stmts = [
+        ('insert into "SYSTEM"."T"("ID") values (\'100\');', "TAAAAX"),
+        ('insert into "SYSTEM"."T"("ID") values (\'101\');', "TAAABX"),
+        ('insert into "SYSTEM"."C"("ID","T_ID") values '
+         "('900','100');", "CAAAAX"),
+        ('insert into "SYSTEM"."C"("ID","T_ID") values '
+         "('901','101');", "CAAABX"),
+        ('insert into "SYSTEM"."t"("ID") values (\'500\');', "LAAAAX"),
+        ('update "SYSTEM"."t" set "ID" = \'501\' where "ID" = \'500\' '
+         "and ROWID = 'LAAAAX';", "LAAAAX"),
+    ]
+    rows = [
+        (f"https://h.example/{i:04d}",
+         f"{s}\n{rid} 26-JAN-2024 10:00:{i:02d}")
+        for i, (s, rid) in enumerate(stmts)
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    events = uniquify_row_ids(parse_documents(docs))
+    assert events.filter("parse_error is not null").count() == 0
+    cols_df, ind_df = discover_schema(events)
+    schema = summarize_schema(cols_df, ind_df)
+    assert '"SYSTEM"."T"' in schema.tables and '"SYSTEM"."t"' in schema.tables
+
+    traces = build_traces_df(events, schema, '"SYSTEM"."T"', False, 4)
+    got = {r["case_id"]: r["trace_xml"] for r in traces.collect()}
+    # 2 exact-root cases + 1 case-sibling case
+    assert set(got) == {"TAAAAX", "TAAABX", "LAAAAX"}
+    # children joined the exact-root traces only (2 events: own + child)
+    c_name = "&quot;SYSTEM&quot;.&quot;C&quot;"
+    for cid in ("TAAAAX", "TAAABX"):
+        assert got[cid].count("<event>") == 2 and c_name in got[cid]
+    # the sibling trace holds exactly its own two events, nothing else
+    assert got["LAAAAX"].count("<event>") == 2
+    assert c_name not in got["LAAAAX"]
+    assert "&quot;SYSTEM&quot;.&quot;t&quot;" in got["LAAAAX"]
+
+    order = reference_trace_order(events, '"SYSTEM"."T"')
+    assert sorted(order) == ["LAAAAX", "TAAAAX", "TAAABX"]

@@ -331,6 +331,10 @@ _AXES = {
     # and bucket assignment are exact — the engine must replicate that
     # exact mixture
     "caseclash": ({"caseclash_prob": 0.9}, False, True, "plain", False),
+    # caseclash where Java equalsIgnoreCase and Python .lower()
+    # DISAGREE ('İŞLEM'/'işlem', 'ILIK'/'ılık', 'ΠΟΣ'/'πος'): the trace
+    # layers must use javaspace.java_equals_ignore_case
+    "unicase": ({"unicase_prob": 0.9}, False, True, "plain", True),
 }
 
 

@@ -62,3 +62,66 @@ def py_is_blank(line: str) -> bool:
 def py_java_trim(s: str) -> str:
     """String.trim for the pure-Python oracle."""
     return s.strip(ASCII_TRIM)
+
+
+# --- String.equalsIgnoreCase (round 5, fuzz axis `unicase`) ---------------
+#
+# Java compares per UTF-16 UNIT: c1 == c2, else
+# Character.toUpperCase(c1) == Character.toUpperCase(c2), else
+# toLowerCase of those uppercased units (String.regionMatches
+# ignoreCase path, StringUTF16.regionMatchesCI). Character.toUpper/
+# LowerCase are the SIMPLE (1:1) UnicodeData mappings — a char whose
+# mapping is multi-char (ß→SS) maps to ITSELF. Python's str.lower/
+# upper are the FULL mappings, so they diverge exactly where parity
+# breaks: 'İ'~'i' and 'ı'~'I' are Java-equal but Python-lower-unequal,
+# 'Σ'~'ς' Java-equal via shared uppercase. Probed in-sandbox
+# (tests/test_unicode_parity.py pins the battery).
+
+# Java Character.toLowerCase uses UnicodeData's simple mapping; the one
+# character whose Python .lower() is multi-char but whose simple
+# mapping exists is U+0130 (İ -> i + COMBINING DOT in full, 'i' simple)
+_SIMPLE_LOWER = {"İ": "i"}
+
+
+def _utf16_units(s: str) -> list[str]:
+    """The string as UTF-16 code units (astral chars -> 2 surrogates)."""
+    if all(ord(ch) <= 0xFFFF for ch in s):
+        return list(s)
+    units: list[str] = []
+    for ch in s:
+        cp = ord(ch)
+        if cp <= 0xFFFF:
+            units.append(ch)
+        else:
+            cp -= 0x10000
+            units.append(chr(0xD800 + (cp >> 10)))
+            units.append(chr(0xDC00 + (cp & 0x3FF)))
+    return units
+
+
+def _java_upper_unit(ch: str) -> str:
+    u = ch.upper()
+    return u if len(u) == 1 else ch  # 1:M mapping -> unchanged (Java)
+
+
+def _java_lower_unit(ch: str) -> str:
+    if ch in _SIMPLE_LOWER:
+        return _SIMPLE_LOWER[ch]
+    l = ch.lower()
+    return l if len(l) == 1 else ch
+
+
+def java_equals_ignore_case(a: str, b: str) -> bool:
+    """String.equalsIgnoreCase, unit-for-unit."""
+    ua, ub = _utf16_units(a), _utf16_units(b)
+    if len(ua) != len(ub):
+        return False
+    for c1, c2 in zip(ua, ub):
+        if c1 == c2:
+            continue
+        u1, u2 = _java_upper_unit(c1), _java_upper_unit(c2)
+        if u1 == u2:
+            continue
+        if _java_lower_unit(u1) != _java_lower_unit(u2):
+            return False
+    return True

@@ -492,7 +492,11 @@ def discover_schema(
         # trivially increasing values — reference initializes both true
         .fillna({"can_be_pk": True, "values_increasing": True})
         .withColumn(
-            "name_like_pk", F.lower("col").rlike("(id|nr|key|no)$")
+            # Java (?i) WITHOUT UNICODE_CASE = ASCII-only folding
+            # (Column.scala:146-149 `matches("(?i:.*id)")` etc.) — a
+            # KELVIN-SIGN "KEY" must NOT match (binary-probed; the old
+            # F.lower() unicode-folded it to "key")
+            "name_like_pk", F.col("col").rlike("(?i)(id|nr|key|no)\\z")
         )
     )
     pk_expr = (

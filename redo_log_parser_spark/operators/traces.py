@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import register
+from ..functions.javaspace import java_equals_ignore_case
 from .schema_discovery import SchemaSummary, insert_kv_pairs
 
 
@@ -103,11 +104,28 @@ def entity_edges(events: DataFrame, schema: SchemaSummary, spark=None) -> DataFr
     return edges.distinct()
 
 
-def root_cases(events: DataFrame, root_table: str) -> DataFrame:
-    """G3 — one case per root-table entity (case-insensitive table match,
-    TraceIDParserHelper.scala:22-23). case_id = entity row id."""
+def root_cases(
+    events: DataFrame, root_table: str, tables: list[str] | None = None
+) -> DataFrame:
+    """G3 — one case per root-table entity (equalsIgnoreCase table
+    match, TraceIDParserHelper.scala:22-23). case_id = entity row id.
+
+    The match is JAVA equalsIgnoreCase, not lowercase equality —
+    'İX'~'ix' and 'ΣA'~'ςa' are Java-equal but lower()-unequal
+    (javaspace.java_equals_ignore_case, probed). The name set is tiny,
+    so matching happens driver-side over `tables` (pass
+    schema.tables; derived from a distinct scan when omitted) and the
+    row filter is a plain isin — cheaper at scale than a per-row
+    lower() too."""
+    if tables is None:
+        tables = [
+            r["table_id"]
+            for r in events.select("table_id").distinct().collect()
+            if r["table_id"] is not None
+        ]
+    matched = [t for t in tables if java_equals_ignore_case(t, root_table)]
     return (
-        events.filter(F.lower(F.col("table_id")) == root_table.lower())
+        events.filter(F.col("table_id").isin(matched))
         .select(F.col("table_id"), F.col("row_id"))
         .distinct()
         .withColumn("case_id", F.col("row_id"))
@@ -146,12 +164,21 @@ def propagate_cases(
     # the exact name; a case-insensitive unique match is kept for the
     # lenient non-clash path (reference CLI validation is exact,
     # cli/package.scala:78).
-    root_actual = (
-        root_table if root_table in schema.tables else next(
-            (t for t in schema.tables if t.lower() == root_table.lower()),
-            root_table,
-        )
-    )
+    if root_table in schema.tables:
+        root_actual = root_table
+    else:
+        ci = [t for t in schema.tables
+              if java_equals_ignore_case(t, root_table)]
+        if len(ci) > 1:
+            # the reference CLI would have rejected this argv outright
+            # (exact contains, cli/package.scala:78); picking one
+            # sibling silently would be arbitrary
+            raise ValueError(
+                f"root class {root_table!r} matches {len(ci)} tables "
+                f"case-insensitively ({sorted(ci)}) and none exactly — "
+                "pass the exact-case table id"
+            )
+        root_actual = ci[0] if ci else root_table
 
     assignments = [roots.select("table_id", "row_id", "case_id")]
 

@@ -29,7 +29,8 @@ from dataclasses import dataclass, field
 from datetime import datetime
 
 from .config import PipelineConfig, DEFAULT_CONFIG
-from .functions.javaspace import py_is_blank, py_java_trim
+from .functions.javaspace import (
+    java_equals_ignore_case, py_is_blank, py_java_trim)
 
 # Regexes lifted verbatim from parser/package.scala:19-27. Scala's
 # `val pattern(g...) = s` requires a FULL match, so re.fullmatch is used.
@@ -257,7 +258,10 @@ class OracleColumn:
 
     def name_like_pk(self) -> bool:
         """Column.scala:145-151."""
-        return bool(re.fullmatch(r"(?i).*(id|nr|key|no)", self.name))
+        # (?a): Java's (?i) is ASCII-only folding (no UNICODE_CASE) —
+        # Python IGNORECASE alone would unicode-fold a KELVIN-SIGN
+        # "KEY" to a match the reference refuses (binary-probed)
+        return bool(re.fullmatch(r"(?ai).*(id|nr|key|no)", self.name))
 
     def is_pk_candidate(self, strict: bool) -> bool:
         if strict:
@@ -565,21 +569,27 @@ def build_traces(
         by_pair.setdefault((rt, lt), {}).setdefault(rr, set()).add(lr)
 
     # root entities in first-appearance order (G3; deterministic stand-in
-    # for the reference's grouping order, TraceIDParserHelper.scala:18-37)
-    root_lc = root.lower()
+    # for the reference's grouping order, TraceIDParserHelper.scala:18-37).
+    # Gathering is Java equalsIgnoreCase over table ids (Helper:23) and
+    # each entity keeps its OWN exact table id; the relation walk below
+    # starts from the EXACT-case root only (TraceIDParser.scala:73) —
+    # fuzz axes `caseclash`/`unicase`
     seen: dict[str, int] = {}
+    table_of: dict[str, str] = {}
     for e in entries:
-        if e.table_id.lower() == root_lc and e.row_id not in seen:
+        if (java_equals_ignore_case(e.table_id, root)
+                and e.row_id not in seen):
             seen[e.row_id] = len(seen)
+            table_of[e.row_id] = e.table_id
     n_buckets = len(seen)
 
     # (table, row) -> set of buckets, via path-restricted DFS over tables
     assigned: dict[tuple[str, str], set[int]] = {}
-    root_table_actual = next(
-        (t for t in schema if t.lower() == root_lc), root
+    root_table_actual = root if root in schema else next(
+        (t for t in schema if java_equals_ignore_case(t, root)), root
     )
     for rid, bucket in seen.items():
-        assigned.setdefault((root_table_actual, rid), set()).add(bucket)
+        assigned.setdefault((table_of[rid], rid), set()).add(bucket)
 
     def walk(table: str, rows: dict[str, set[int]], path: frozenset[str]) -> None:
         for nxt in adj.get(table, ()):  # noqa: B007
@@ -596,7 +606,8 @@ def build_traces(
 
     walk(
         root_table_actual,
-        {rid: {b} for rid, b in seen.items()},
+        {rid: {b} for rid, b in seen.items()
+         if table_of[rid] == root_table_actual},
         frozenset({root_table_actual}),
     )
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import PipelineConfig, DEFAULT_CONFIG
+from .functions.javaspace import java_equals_ignore_case
 from .functions.parse import parse_documents
 from .functions.parse_sql import parse_documents_sql
 from .functions.xes import trace_xml, with_xes_columns
@@ -121,7 +122,7 @@ def build_traces_df(
 ) -> DataFrame:
     """Steps 6-7 as a reusable plan: (case_id, events, trace_xml)."""
     edges = entity_edges(events, schema)
-    roots = root_cases(events, root_table)
+    roots = root_cases(events, root_table, tables=schema.tables)
     assignments = propagate_cases(edges, roots, schema, root_table)
     assigned = with_xes_columns(
         assign_entries(events, assignments), include_update_values
@@ -171,9 +172,13 @@ def run_pipeline(
     # events and the one discovery pass — one trace sink per root.
     roots = cfg.all_root_classes
     if roots:
-        tables_lc = {t.lower() for t in result.schema.tables}
         for rc in roots:
-            if rc.lower() not in tables_lc:
+            # Java equalsIgnoreCase, not lowercase equality — matches
+            # the trace layer's table matching (javaspace)
+            if not any(
+                java_equals_ignore_case(rc, t)
+                for t in result.schema.tables
+            ):
                 raise ValueError(
                     f"root class {rc!r} not in discovered schema "
                     f"{sorted(result.schema.tables)}"

@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.javaspace import java_equals_ignore_case
 from ..functions.xes import xes_log_header, xes_pretty_header
 
 
@@ -146,7 +147,6 @@ def reference_trace_order(
     )
     seen: dict[str, str] = {}
     seen_orig: dict[str, str] = {}
-    rt = root_table.lower()
     # The reference's bucket order is a NESTED groupBy (TraceIDParser
     # .scala:46-57): outer `logEntries.groupBy(_.tableID)` over ALL
     # tables — iterated in Scala-Map order, filtered equalsIgnoreCase
@@ -162,7 +162,7 @@ def reference_trace_order(
         if t not in tset:
             tset.add(t)
             tables_first.append(t)
-        if t.lower() != rt:
+        if not java_equals_ignore_case(t, root_table):
             continue
         cid = r["row_id"]
         if cid not in seen:
@@ -193,7 +193,7 @@ def reference_trace_order(
             )
     out: list[str] = []
     for t in scala212_groupby_order(tables_first):
-        if t.lower() != rt:
+        if not java_equals_ignore_case(t, root_table):
             continue
         ref_ids = [seen[cid] for cid in rows_in_table.get(t, [])]
         ours_of = {seen[cid]: cid for cid in rows_in_table.get(t, [])}

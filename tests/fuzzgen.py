@@ -94,6 +94,12 @@ _META_TABLE_POOL = ["OR.DERS", "T(1)", "A+B*C", "X$Y", "M[0]", "N{2}",
                     "P^Q|R", "E#F", "USE RS", "D&G!"]
 _META_COL_POOL = ["N.A+ME", "C(2)", "V*L$", "S=T", "A[1]", "B{9}",
                   "W^Z|Q", "H#K", "P Q", "R&J~"]
+# pairs that Java String.equalsIgnoreCase treats as EQUAL but Python
+# str.lower() does not ('İ'→'i̇' two chars in Python, 'i' in Java's
+# simple mapping; 'ı'~'I'; 'Σ'~'ς' via shared uppercase) — probed
+# in-sandbox, javaspace.java_equals_ignore_case
+_UNICASE_PAIRS = [("İŞLEM", "işlem"), ("ILIK", "ılık"),
+                  ("ΠΟΣ", "πος"), ("İX2", "ix2")]
 
 
 class _ColSpec:
@@ -185,6 +191,7 @@ def fuzz_statements(
     meta_name_prob: float = 0.0,
     ridcol_prob: float = 0.0,
     caseclash_prob: float = 0.0,
+    unicase_prob: float = 0.0,
 ) -> tuple[list[Stmt], list[str]]:
     """Return (statements, table_ids). Deterministic per seed.
 
@@ -244,6 +251,12 @@ def fuzz_statements(
         reference matching) while bucket ASSIGNMENT is exact
         (TraceIDParserHelper.scala:51). Separate rng stream
         (seed*1013+17).
+      * unicase_prob: probability (when >=2 tables) the FIRST and LAST
+        tables are renamed to a _UNICASE_PAIRS pair — table ids that
+        are Java-equalsIgnoreCase-EQUAL but Python-lower-UNEQUAL
+        ('İŞLEM'/'işlem'): the reference's case-insensitive trace
+        layers must be replicated with Java semantics, not .lower().
+        Separate rng stream (seed*1213+3).
       * ridcol_prob: probability (per table, at most one column) an
         extra column is literally named ROWID. The reference filters
         the where-clause ROWID pair BY NAME and ONLY in delete
@@ -280,6 +293,12 @@ def fuzz_statements(
         variant = tables[0].lower()
         if variant != tables[0] and variant not in tables:
             tables[-1] = variant
+    rng_unicase = random.Random(seed * 1213 + 3)  # unicase stream only
+    if (unicase_prob and len(tables) >= 2
+            and rng_unicase.random() < unicase_prob):
+        a, b = _UNICASE_PAIRS[rng_unicase.randrange(len(_UNICASE_PAIRS))]
+        if a not in tables and b not in tables:
+            tables[0], tables[-1] = a, b
     # full quoted ids; `tables` entries stay the unique generator KEYS
     full_id = {t: f'"SYSTEM"."{t}"' for t in tables}
     if multischema_prob:

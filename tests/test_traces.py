@@ -166,3 +166,26 @@ def test_case_colliding_table_names(spark):
 
     order = reference_trace_order(events, '"SYSTEM"."T"')
     assert sorted(order) == ["LAAAAX", "TAAAAX", "TAAABX"]
+
+
+def test_ambiguous_case_insensitive_root_raises(spark):
+    """A root argv matching two case-siblings case-insensitively and
+    neither exactly must raise (the reference CLI's validation is
+    exact-case, cli/package.scala:78 — picking one silently would be
+    arbitrary)."""
+    from redo_log_parser_spark.pipeline import build_traces_df
+
+    rows = [
+        ("https://h.example/0000",
+         'insert into "SYSTEM"."T"("ID") values (\'1\');\n'
+         "TAAAAX 26-JAN-2024 10:00:00"),
+        ("https://h.example/0001",
+         'insert into "SYSTEM"."t"("ID") values (\'2\');\n'
+         "LAAAAX 26-JAN-2024 10:00:01"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    events = uniquify_row_ids(parse_documents(docs))
+    cols_df, ind_df = discover_schema(events)
+    schema = summarize_schema(cols_df, ind_df)
+    with pytest.raises(ValueError, match="case-insensitively"):
+        build_traces_df(events, schema, '"system"."t"', False, 4).collect()

@@ -240,3 +240,59 @@ def test_oracle_parse_records_java_blank_semantics(spark):
            for r in parse_documents(docs).collect()}
     assert got["0001"] == (True, "RID0001X")
     assert got["0002"][0] is False  # engine: labeled reject
+
+
+def test_java_equals_ignore_case_battery():
+    """Pins javaspace.java_equals_ignore_case against the in-sandbox
+    Java probe (String.equalsIgnoreCase, java 17):
+
+        İX~ix true | ıX~IX true | STRASSE~straße false | İX~IX true
+        ıx~ix true | ÅB~åb true | ΣA~σa true | ΣA~ςa true
+
+    The divergent-from-Python rows are exactly why .lower() comparisons
+    were replaced in the trace layers (fuzz axis `unicase`)."""
+    from redo_log_parser_spark.functions.javaspace import (
+        java_equals_ignore_case as eq)
+
+    battery = [
+        ("İX", "ix", True), ("ıX", "IX", True),
+        ("STRASSE", "straße", False), ("İX", "IX", True),
+        ("ıx", "ix", True), ("ÅB", "åb", True),
+        ("ΣA", "σa", True), ("ΣA", "ςa", True),
+        ("abc", "ABC", True), ("abc", "abd", False),
+        ("😀A", "😀a", True), ("😀", "😀x", False),
+        ('"SYSTEM"."USERS"', '"system"."users"', True),
+    ]
+    assert [(a, b, eq(a, b)) for a, b, _ in battery] == battery
+
+
+def test_kelvin_sign_pk_name_heuristic(spark):
+    """Java's (?i) is ASCII-only case folding (no UNICODE_CASE), so a
+    column named KEY with a KELVIN SIGN K (U+212A) must NOT satisfy
+    the PK-name heuristic (Column.scala:146-149). Binary-probed this
+    session: strict dump says `KEY ` / `ID (STRONG PRIMARY KEY)`.
+    Python IGNORECASE and F.lower() both unicode-fold U+212A to 'k' —
+    the engine now uses Java-regex (?i) / Python (?ai)."""
+    kcol = "KEY"
+    stmts = [
+        (f'insert into "SYSTEM"."T"("ID","{kcol}") values '
+         "('1','a');", "TAAAAX", "26-JAN-2024 10:00:00"),
+        (f'insert into "SYSTEM"."T"("ID","{kcol}") values '
+         "('2','b');", "TAAABX", "26-JAN-2024 10:00:01"),
+    ]
+    rows = [
+        (f"https://h.example/{i:04d}", f"{s}\n{rid} {ts}")
+        for i, (s, rid, ts) in enumerate(stmts)
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    events = uniquify_row_ids(parse_documents(docs))
+    cols_df, _ = discover_schema(events, strict=True)
+    got = {r["col"]: (r["name_like_pk"], r["is_pk"])
+           for r in cols_df.collect()}
+    assert got[kcol] == (False, False)
+    assert got["ID"] == (True, True)
+
+    entries = oracle.uniquify_row_ids(
+        oracle.parse_records([t for _, t in rows]))
+    dump = oracle.reference_console_dump(entries, strict=True)
+    assert dump == f'TABLE "SYSTEM"."T"\n{kcol} \nID (STRONG PRIMARY KEY) '

@@ -41,6 +41,8 @@ _TS_STYLE_PATTERN = {  # ts_style -> (--timestampPattern arg, engine cfg arg)
     "default": ("", ""),
     "mixedcase": ("", ""),  # default pattern parses months case-insensitively
     "iso": ("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm:ss"),
+    # SMART-resolver shapes (31-APR, 24:00:00) under the default pattern
+    "smart": ("", ""),
 }
 
 

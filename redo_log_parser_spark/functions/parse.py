@@ -43,6 +43,7 @@ from pyspark.sql.types import (
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from .javaspace import ASCII_TRIM as _ASCII_TRIM, WS_CLS as _WS_CLS
+from .javatime import py_smart_resolve, strptime_to_java_format
 
 # Anchored forms of parser/package.scala:19-27 (fullmatch semantics).
 # The reference patterns run under JAVA regex semantics, which differ
@@ -151,6 +152,17 @@ def parse_record_batch(text: pd.Series, strptime_fmt: str) -> pd.DataFrame:
         chunk[2].str.strip(_ASCII_TRIM).str.replace(" +", " ", regex=True)
     )
     ts = pd.to_datetime(ts_raw, format=strptime_fmt, errors="coerce")
+    # java.time SMART resolution for strings the strict parse refused
+    # (31-APR -> Apr 30, 24:00:00 -> next-day midnight — the reference's
+    # DateTimeFormatter default; binary-probed, functions/javatime.py).
+    # Only FAILED rows take the Python fallback — hot path unchanged.
+    bad = ts.isna() & ts_raw.notna()
+    if bad.any():
+        jfmt = strptime_to_java_format(strptime_fmt)
+        if jfmt is not None:
+            ts = ts.fillna(pd.to_datetime(
+                ts_raw[bad].map(lambda s: py_smart_resolve(s, jfmt))
+            ))
     idline = chunk[1]  # null ⇔ no id line at all
 
     # --- statement classification + table id (P3, P7) ---

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
+from .javatime import smart_ts_expr
 from .javaspace import WS_CLS as _WS_CLS, java_trim
 
 # blank-line skip = String.isBlank (Character.isWhitespace), a WIDER
@@ -123,7 +124,14 @@ def parse_documents_sql(
 
     fmt = cfg.ts_format_java
     ts_src = _normalize_month_case(ts_raw) if "MMM" in fmt else ts_raw
-    ts = F.try_to_timestamp(_null_if_empty(ts_src), F.lit(fmt))
+    # coalesce short-circuits per row: the SMART branch (java.time
+    # default resolver — 31-APR -> Apr 30, 24:00:00 -> next-day
+    # midnight, binary-probed; functions/javatime.py) only evaluates
+    # where the strict parse returned null
+    ts = F.coalesce(
+        F.try_to_timestamp(_null_if_empty(ts_src), F.lit(fmt)),
+        smart_ts_expr(ts_raw, fmt),
+    )
 
     op0 = _null_if_empty(F.regexp_extract(stmt, _RE_TABLE, 1))
     table_id = _null_if_empty(F.regexp_extract(stmt, _RE_TABLE, 3))

@@ -31,6 +31,7 @@ from datetime import datetime
 from .config import PipelineConfig, DEFAULT_CONFIG
 from .functions.javaspace import (
     java_equals_ignore_case, py_is_blank, py_java_trim)
+from .functions.javatime import py_smart_resolve, strptime_to_java_format
 
 # Regexes lifted verbatim from parser/package.scala:19-27. Scala's
 # `val pattern(g...) = s` requires a FULL match, so re.fullmatch is used.
@@ -106,7 +107,15 @@ def parse_chunk(chunk: list[str], cfg: PipelineConfig) -> tuple[str, str, dateti
     statement = py_java_trim(chunk[0])
     row_id, _, rest = chunk[1].partition(" ")  # split(" ", 2)
     ts_string = re.sub(" +", " ", py_java_trim(rest))
-    ts = datetime.strptime(ts_string, cfg.ts_format_strptime)
+    try:
+        ts = datetime.strptime(ts_string, cfg.ts_format_strptime)
+    except ValueError:
+        # java.time default ResolverStyle.SMART (functions/javatime.py,
+        # binary-probed): 31-APR -> Apr 30, 24:00:00 -> next-day 00:00
+        jfmt = strptime_to_java_format(cfg.ts_format_strptime)
+        ts = py_smart_resolve(ts_string, jfmt) if jfmt else None
+        if ts is None:
+            raise
     return statement, row_id, ts
 
 

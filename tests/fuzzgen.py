@@ -482,6 +482,32 @@ def fuzz_records(
     return records, tables
 
 
+def _smart_schedule(i: int) -> datetime:
+    """Strictly increasing instants that all have a SMART-aliasable
+    rendering (ts_style='smart'): per 4-record cycle over SHORT months,
+    [month-end 00:00, month-end 10:00:ss, 1st-of-next 00:00,
+    1st-of-next 09:30:ss]. The midnights render as '<day> 24:00:00'
+    (incl. the cap-then-roll '31-FEB-2024 24:00:00' shape) and the
+    month-ends as over-length days ('31-APR'), so the resolved values
+    keep file order while the STRINGS are all java.time-SMART-only."""
+    import calendar
+
+    months = [(2023, 2), (2024, 2), (2024, 4), (2024, 6), (2024, 9),
+              (2024, 11)]
+    cyc, slot = divmod(i, 4)
+    y, m = months[cyc % len(months)]
+    y += 2 * (cyc // len(months))
+    last = calendar.monthrange(y, m)[1]
+    if slot == 0:
+        return datetime(y, m, last)
+    if slot == 1:
+        return datetime(y, m, last, 10, 0, i % 60)
+    nxt = datetime(y, m, last) + timedelta(days=1)
+    if slot == 2:
+        return nxt
+    return nxt.replace(hour=9, minute=30, second=i % 60)
+
+
 def _fmt_ts_styled(ts: datetime, i: int, ts_style: str) -> str:
     """Render one timestamp under a style axis (per-record deterministic):
     'default' = the reference's dd-MMM-yyyy with UPPER month;
@@ -498,6 +524,28 @@ def _fmt_ts_styled(ts: datetime, i: int, ts_style: str) -> str:
         styled = (mon.upper(), mon.lower(), mon)[i % 3]
         return ts.strftime("%d-%b-%Y %H:%M:%S").replace(mon, styled)
     if ts_style == "default":
+        return _fmt_ts(ts)
+    if ts_style == "smart":
+        import calendar
+
+        def fmt(day: int, base: datetime, hms: str) -> str:
+            mon = base.strftime("%b").upper()
+            return f"{day:02d}-{mon}-{base.year} {hms}"
+
+        if (ts.hour, ts.minute, ts.second) == (0, 0, 0):
+            # midnight = previous day rendered 24:00:00; when the
+            # previous day is a month END, rotate the written day up to
+            # 31 — the cap-then-roll shape ('31-FEB-2024 24:00:00')
+            prev = ts - timedelta(days=1)
+            plast = calendar.monthrange(prev.year, prev.month)[1]
+            day = prev.day if prev.day < plast else plast + (
+                i % (32 - plast))
+            return fmt(day, prev, "24:00:00")
+        last = calendar.monthrange(ts.year, ts.month)[1]
+        if ts.day == last and last < 31:
+            # month-end rendered with an over-length day (SMART caps)
+            return fmt(last + 1 + (i % (31 - last)), ts,
+                       ts.strftime("%H:%M:%S"))
         return _fmt_ts(ts)
     raise ValueError(f"unknown ts_style {ts_style!r}")
 
@@ -629,6 +677,11 @@ def write_fuzz_log(
 ) -> list[str]:
     """Generate, render and write the seed's log; return its table ids."""
     records, tables = fuzz_records(seed, **gen_kwargs)
+    if ts_style == "smart":
+        # replace the second-step schedule with SMART-aliasable instants
+        # (month ends + midnights); rendering stays order-preserving
+        records = [(s, _smart_schedule(i))
+                   for i, (s, _ts) in enumerate(records)]
     with open(path, "w", encoding="utf-8") as f:
         f.write(render_log(records, ts_style, ws_style))
     return tables

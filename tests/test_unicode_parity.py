@@ -296,3 +296,56 @@ def test_kelvin_sign_pk_name_heuristic(spark):
         oracle.parse_records([t for _, t in rows]))
     dump = oracle.reference_console_dump(entries, strict=True)
     assert dump == f'TABLE "SYSTEM"."T"\n{kcol} \nID (STRONG PRIMARY KEY) '
+
+
+def test_smart_timestamp_resolution_all_surfaces(spark):
+    """java.time ResolverStyle.SMART parity (binary-probed battery):
+    day capped to month length, 24:00:00 = next-day midnight, cap THEN
+    roll when combined; true out-of-range fields stay rejects (the
+    reference crashes on those). All three parse surfaces must agree."""
+    import pandas as pd
+
+    battery = [
+        ("31-APR-2024 10:00:00", "2024-04-30 10:00:00"),
+        ("29-FEB-2023 11:30:00", "2023-02-28 11:30:00"),
+        ("30-FEB-2024 10:00:00", "2024-02-29 10:00:00"),
+        ("01-MAY-2024 24:00:00", "2024-05-02 00:00:00"),
+        ("31-FEB-2024 24:00:00", "2024-03-01 00:00:00"),
+        ("31-DEC-2024 24:00:00", "2025-01-01 00:00:00"),
+        ("32-JAN-2024 10:00:00", None),
+        ("00-JAN-2024 10:00:00", None),
+        ("01-MAY-2024 24:30:00", None),
+        ("01-MAY-2024 24:00:01", None),
+        ("01-MAY-2024 23:60:00", None),
+        ("15-MAY-2024 10:00:00", "2024-05-15 10:00:00"),
+    ]
+    rows = [
+        (f"https://h.example/{i:04d}",
+         f'insert into "SYSTEM"."T"("ID") values (\'{i}\');\n'
+         f"RID{i:04d}X {ts}")
+        for i, (ts, _) in enumerate(battery)
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+
+    for parser in (parse_documents, parse_documents_sql):
+        got = {
+            r["url"][-4:]: (None if r["ts"] is None
+                            else r["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                            r["parse_error"])
+            for r in parser(docs).collect()
+        }
+        for i, (ts, want) in enumerate(battery):
+            got_ts, err = got[f"{i:04d}"]
+            assert got_ts == want, (parser.__name__, ts, got_ts, want)
+            assert (err is None) == (want is not None), (
+                parser.__name__, ts, err)
+
+    # oracle: clean shapes parse to the same datetimes, crash shapes raise
+    for i, (ts, want) in enumerate(battery):
+        rec = rows[i][1]
+        if want is None:
+            with pytest.raises(Exception):
+                oracle.parse_records([rec])
+        else:
+            [entry] = oracle.parse_records([rec])
+            assert entry.ts.strftime("%Y-%m-%d %H:%M:%S") == want

@@ -349,3 +349,31 @@ def test_smart_timestamp_resolution_all_surfaces(spark):
         else:
             [entry] = oracle.parse_records([rec])
             assert entry.ts.strftime("%Y-%m-%d %H:%M:%S") == want
+
+
+def test_smart_resolution_iso_pattern(spark):
+    """The SMART replica is pattern-generic: the reference's second
+    README pattern (yyyy-MM-dd HH:mm:ss) caps and rolls identically."""
+    from redo_log_parser_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(ts_format_java="yyyy-MM-dd HH:mm:ss")
+    battery = [
+        ("2024-04-31 10:00:00", "2024-04-30 10:00:00"),
+        ("2024-02-30 24:00:00", "2024-03-01 00:00:00"),
+        ("2024-05-01 24:30:00", None),
+    ]
+    rows = [
+        (f"https://h.example/{i:04d}",
+         f'insert into "SYSTEM"."T"("ID") values (\'{i}\');\n'
+         f"RID{i:04d}X {ts}")
+        for i, (ts, _) in enumerate(battery)
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    for parser in (parse_documents, parse_documents_sql):
+        got = {
+            r["url"][-4:]: (None if r["ts"] is None
+                            else r["ts"].strftime("%Y-%m-%d %H:%M:%S"))
+            for r in parser(docs, cfg=cfg).collect()
+        }
+        for i, (ts, want) in enumerate(battery):
+            assert got[f"{i:04d}"] == want, (parser.__name__, ts)

@@ -92,8 +92,12 @@ def strptime_to_java_format(strptime_fmt: str) -> str | None:
 
 
 def py_smart_resolve(s: str, java_fmt: str) -> datetime | None:
-    """SMART-resolve a string the strict parse rejected; None = the
-    reference would crash too (field out of range / no match)."""
+    """SMART-resolve a string the strict parse rejected; None = no
+    SMART value this surface can represent (the reference would either
+    crash — field out of range / no match — or, at the year-0 /
+    year-9999-roll extremes, produce a LocalDateTime outside Python's
+    datetime range: those stay labeled rejects, a documented bound
+    shared with the strict path's own representable range)."""
     spec = compile_java_ts_format(java_fmt)
     if spec is None:
         return None
@@ -110,12 +114,16 @@ def py_smart_resolve(s: str, java_fmt: str) -> datetime | None:
     y = int(v["Y"])
     if (mo is None or not 1 <= mo <= 12 or not 1 <= d <= 31
             or not 0 <= mi <= 59 or not 0 <= ss <= 59
-            or hh > 24 or (hh == 24 and (mi or ss))):
+            or hh > 24 or (hh == 24 and (mi or ss))
+            or not 1 <= y <= 9999):
         return None
     d = min(d, calendar.monthrange(y, mo)[1])  # SMART day cap
-    dt = datetime(y, mo, d, hh % 24, mi, ss)
-    if hh == 24:  # SMART 24:00:00 = next-day midnight (cap, THEN roll)
-        dt += timedelta(days=1)
+    try:
+        dt = datetime(y, mo, d, hh % 24, mi, ss)
+        if hh == 24:  # SMART 24:00:00 = next-day midnight (cap, THEN roll)
+            dt += timedelta(days=1)
+    except (OverflowError, ValueError):  # 31-DEC-9999 24:00:00 roll
+        return None
     return dt
 
 
@@ -131,10 +139,16 @@ def smart_ts_expr(col, java_fmt: str):
         return F.lit(None).cast("timestamp")
     rx, fields = spec
     rx_anchored = r"\A" + rx + r"\z"
-    g = {
-        key: F.regexp_extract(col, rx_anchored, i + 1)
-        for i, key in enumerate(fields)
-    }
+    # ONE regex pass: pack every group NUL-joined (the parse_sql update
+    # idiom — this branch sits in an interpreted Project with no CSE,
+    # so per-field regexp_extract would re-run the full pattern 7x per
+    # fallback row), then split. regexp_like gates non-matching rows.
+    packed = F.regexp_replace(
+        col, rx_anchored,
+        "\x00".join(f"${i + 1}" for i in range(len(fields))),
+    )
+    parts = F.split(packed, "\x00")
+    g = {key: F.get(parts, i) for i, key in enumerate(fields)}
     if "b" in g:
         mo = F.upper(g["b"])
         month_expr = F.lit(None).cast("int")
@@ -148,18 +162,30 @@ def smart_ts_expr(col, java_fmt: str):
     mi = g["Mi"].cast("int")
     ss = g["S"].cast("int")
     valid = (
-        (g[fields[0]] != "")
+        F.regexp_like(col, F.lit(rx_anchored))
+        & (F.size(parts) == len(fields))
         & month_expr.between(1, 12)
         & d.between(1, 31)
         & mi.between(0, 59)
         & ss.between(0, 59)
         & ((hh <= 23) | ((hh == 24) & (mi == 0) & (ss == 0)))
+        & y.between(1, 9999)
+        # the 31-DEC-9999 24:00:00 roll lands in year 10000 — outside
+        # the Python-side representable range (py_smart_resolve returns
+        # None); keep the surfaces agreed by rejecting it here too
+        & ~((hh == 24) & (y == 9999) & (month_expr == 12) & (d == 31))
     )
     first_of_month = F.make_date(y, month_expr, F.lit(1))
     d_cap = F.least(d, F.dayofmonth(F.last_day(first_of_month)))
-    # hour 24 contributes a full day through the interval — SMART's
-    # next-day-midnight falls out of plain timestamp arithmetic
-    ts = F.to_timestamp(F.date_add(first_of_month, d_cap - 1)) + F.make_interval(
-        hours=hh, mins=mi, secs=ss.cast("double")
+    day_date = F.date_add(first_of_month, d_cap - 1)
+    # WALL-CLOCK construction (make_timestamp), not instant+duration:
+    # `date + 24h` would skew by an hour across a DST transition on
+    # non-UTC sessions, while the reference's LocalDateTime (and the
+    # Python twin) are timezone-free. Hour 24 = next calendar day 00:00.
+    hh24 = hh == 24
+    eff = F.when(hh24, F.date_add(day_date, 1)).otherwise(day_date)
+    ts = F.make_timestamp(
+        F.year(eff), F.month(eff), F.dayofmonth(eff),
+        F.when(hh24, F.lit(0)).otherwise(hh), mi, ss.cast("double"),
     )
     return F.when(valid, ts).otherwise(F.lit(None).cast("timestamp"))

@@ -160,8 +160,12 @@ def parse_record_batch(text: pd.Series, strptime_fmt: str) -> pd.DataFrame:
     if bad.any():
         jfmt = strptime_to_java_format(strptime_fmt)
         if jfmt is not None:
+            # errors="coerce": a SMART result outside pandas' ns range
+            # (year 2263+) must stay a labeled reject, not kill the
+            # task — same representable-range bound as the strict path
             ts = ts.fillna(pd.to_datetime(
-                ts_raw[bad].map(lambda s: py_smart_resolve(s, jfmt))
+                ts_raw[bad].map(lambda s: py_smart_resolve(s, jfmt)),
+                errors="coerce",
             ))
     idline = chunk[1]  # null ⇔ no id line at all
 

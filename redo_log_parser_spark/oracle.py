@@ -594,9 +594,18 @@ def build_traces(
 
     # (table, row) -> set of buckets, via path-restricted DFS over tables
     assigned: dict[tuple[str, str], set[int]] = {}
-    root_table_actual = root if root in schema else next(
-        (t for t in schema if java_equals_ignore_case(t, root)), root
-    )
+    if root in schema:
+        root_table_actual = root
+    else:
+        ci = [t for t in schema if java_equals_ignore_case(t, root)]
+        if len(ci) > 1:
+            # mirror the engine's propagate_cases: an argv matching two
+            # case-siblings and neither exactly is ambiguous
+            raise ValueError(
+                f"root class {root!r} matches {len(ci)} tables "
+                "case-insensitively and none exactly"
+            )
+        root_table_actual = ci[0] if ci else root
     for rid, bucket in seen.items():
         assigned.setdefault((table_of[rid], rid), set()).add(bucket)
 

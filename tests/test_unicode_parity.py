@@ -377,3 +377,30 @@ def test_smart_resolution_iso_pattern(spark):
         }
         for i, (ts, want) in enumerate(battery):
             assert got[f"{i:04d}"] == want, (parser.__name__, ts)
+
+
+def test_smart_resolution_representable_bounds(spark):
+    """Review r5s5 fixes: SMART results outside a surface's
+    representable range must be labeled rejects, never task crashes.
+    31-DEC-9999 24:00:00 rolls to year 10000 (reference parses it;
+    unrepresentable here — both parsers reject, documented bound).
+    Year-2263 SMART shapes exceed pandas' ns range: the kernel rejects
+    while the JVM parser parses them (pre-existing strict-path bound,
+    now pinned explicitly)."""
+    rows = [
+        ("https://h.example/0000",
+         'insert into "SYSTEM"."T"("ID") values (\'1\');\n'
+         "RID0000X 31-DEC-9999 24:00:00"),
+        ("https://h.example/0001",
+         'insert into "SYSTEM"."T"("ID") values (\'2\');\n'
+         "RID0001X 31-APR-2263 10:00:00"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    kern = {r["url"][-4:]: (str(r["ts"]), r["parse_error"])
+            for r in parse_documents(docs).collect()}
+    sql = {r["url"][-4:]: (str(r["ts"]), r["parse_error"])
+           for r in parse_documents_sql(docs).collect()}
+    assert kern["0000"] == ("None", "bad_timestamp")
+    assert sql["0000"] == ("None", "bad_timestamp")
+    assert kern["0001"] == ("None", "bad_timestamp")  # pandas ns bound
+    assert sql["0001"][0].startswith("2263-04-30 10:00")  # JVM range

@@ -337,6 +337,11 @@ _AXES = {
     # DISAGREE ('İŞLEM'/'işlem', 'ILIK'/'ılık', 'ΠΟΣ'/'πος'): the trace
     # layers must use javaspace.java_equals_ignore_case
     "unicase": ({"unicase_prob": 0.9}, False, True, "plain", True),
+    # ridcol × dupcol × multischema × packdoc: a column named ROWID
+    # listed TWICE in one insert (last-wins fold on the name the delete
+    # path filters), under schema-qualified collisions in packed cells
+    "ridmix": ({"ridcol_prob": 0.5, "dup_col_prob": 0.35,
+                "multischema_prob": 0.4}, True, True, "plain", False),
 }
 
 

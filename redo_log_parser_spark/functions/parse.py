@@ -160,13 +160,15 @@ def parse_record_batch(text: pd.Series, strptime_fmt: str) -> pd.DataFrame:
     if bad.any():
         jfmt = strptime_to_java_format(strptime_fmt)
         if jfmt is not None:
-            # errors="coerce": a SMART result outside pandas' ns range
-            # (year 2263+) must stay a labeled reject, not kill the
-            # task — same representable-range bound as the strict path
-            ts = ts.fillna(pd.to_datetime(
-                ts_raw[bad].map(lambda s: py_smart_resolve(s, jfmt)),
-                errors="coerce",
-            ))
+            # µs dtype, not ns: Spark timestamps are µs, and a string
+            # like '15-MAY-2263' is VALID to the reference and the JVM
+            # parser but beyond datetime64[ns] (year 2262 cap) — the
+            # strict pass coerces it to NaT, the fallback re-parses it,
+            # and the µs series carries it to year 9999. None -> NaT.
+            fixed = ts_raw[bad].map(lambda s: py_smart_resolve(s, jfmt))
+            fixed = pd.Series(fixed.tolist(), index=fixed.index,
+                              dtype="datetime64[us]")
+            ts = ts.astype("datetime64[us]").fillna(fixed)
     idline = chunk[1]  # null ⇔ no id line at all
 
     # --- statement classification + table id (P3, P7) ---

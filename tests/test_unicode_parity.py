@@ -384,9 +384,10 @@ def test_smart_resolution_representable_bounds(spark):
     representable range must be labeled rejects, never task crashes.
     31-DEC-9999 24:00:00 rolls to year 10000 (reference parses it;
     unrepresentable here — both parsers reject, documented bound).
-    Year-2263 SMART shapes exceed pandas' ns range: the kernel rejects
-    while the JVM parser parses them (pre-existing strict-path bound,
-    now pinned explicitly)."""
+    Year-2263+ dates exceed datetime64[ns]: the kernel's strict pass
+    coerces them to NaT, but the SMART fallback re-parses into a
+    datetime64[us] series — BOTH parsers now agree with the reference
+    up to year 9999."""
     rows = [
         ("https://h.example/0000",
          'insert into "SYSTEM"."T"("ID") values (\'1\');\n'
@@ -402,5 +403,6 @@ def test_smart_resolution_representable_bounds(spark):
            for r in parse_documents_sql(docs).collect()}
     assert kern["0000"] == ("None", "bad_timestamp")
     assert sql["0000"] == ("None", "bad_timestamp")
-    assert kern["0001"] == ("None", "bad_timestamp")  # pandas ns bound
-    assert sql["0001"][0].startswith("2263-04-30 10:00")  # JVM range
+    assert kern["0001"][0].startswith("2263-04-30 10:00")
+    assert kern["0001"][1] is None
+    assert sql["0001"][0].startswith("2263-04-30 10:00")

@@ -108,35 +108,43 @@ def synth_insert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def synth_mixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """insert for every order; PRIO update (+1 day) for okey%3==1;
     ID+ROWID delete (+2 days) for okey%3==2 — exercises all three parse
-    paths, tombstones and the full schema-discovery stack."""
+    paths, tombstones and the full schema-discovery stack.
+
+    Built as ONE scan + a row-side explode (round 6): the original
+    three-branch union re-scanned orders and re-ran its fan-out
+    repartition once PER BRANCH (subtree twins share no exchange,
+    PLANS §13) — 3 parquet scans + 4.5M narrow rows exchanged at sf1.
+    The explode form scans once, exchanges the narrow orders rows once,
+    and emits each order's 1-2 docs row-side. Row VALUES are identical
+    (same column expressions per branch); only row order differs, which
+    no consumer observes (every downstream op aggregates or orders
+    explicitly)."""
     o = _t(spark, sf_dir, "orders").repartition(
         spark.sparkContext.defaultParallelism
     )
-    ins = o.select(
-        F.col("o_orderkey").alias("okey"),
-        _synth_url("i").alias("url"),
-        F.col("o_orderdate").alias("warc_ts"),
-        _doc(_synth_insert_text(), F.col("o_orderdate"), "i").alias("text"),
-    )
-    upd_src = o.filter(F.col("o_orderkey") % 3 == 1).withColumn(
+    o = o.withColumn(
         "uts", F.col("o_orderdate") + F.expr("interval 1 day")
+    ).withColumn("dts", F.col("o_orderdate") + F.expr("interval 2 day"))
+
+    def _branch(tag: str, ts: F.Column, stmt: F.Column) -> F.Column:
+        return F.struct(
+            _synth_url(tag).alias("url"),
+            ts.alias("warc_ts"),
+            _doc(stmt, ts, tag).alias("text"),
+        )
+
+    ins_s = _branch("i", F.col("o_orderdate"), _synth_insert_text())
+    upd_s = _branch("u", F.col("uts"), _synth_update_text())
+    del_s = _branch("d", F.col("dts"), _synth_delete_text())
+    k = F.col("o_orderkey") % 3
+    docs = (
+        F.when(k == 1, F.array(ins_s, upd_s))
+        .when(k == 2, F.array(ins_s, del_s))
+        .otherwise(F.array(ins_s))
     )
-    upd = upd_src.select(
-        F.col("o_orderkey").alias("okey"),
-        _synth_url("u").alias("url"),
-        F.col("uts").alias("warc_ts"),
-        _doc(_synth_update_text(), F.col("uts"), "u").alias("text"),
-    )
-    del_src = o.filter(F.col("o_orderkey") % 3 == 2).withColumn(
-        "dts", F.col("o_orderdate") + F.expr("interval 2 day")
-    )
-    dele = del_src.select(
-        F.col("o_orderkey").alias("okey"),
-        _synth_url("d").alias("url"),
-        F.col("dts").alias("warc_ts"),
-        _doc(_synth_delete_text(), F.col("dts"), "d").alias("text"),
-    )
-    return ins.unionByName(upd).unionByName(dele)
+    return o.select(
+        F.col("o_orderkey").alias("okey"), F.explode(docs).alias("d")
+    ).select("okey", "d.url", "d.warc_ts", "d.text")
 
 
 _SQL_SYNTH_MIXED = """
@@ -813,7 +821,11 @@ def q_decontaminate(spark, sf_dir):
     synthetic texts are already lowercase)."""
     from .operators.corpus import decontaminate
 
-    d = _t(spark, sf_dir, "documents")
+    # _docs_wide, not _t: the sf documents table is ONE parquet split,
+    # and the corpus-side 4-gram build (interpreted transform) is the
+    # whole cost of this query — unpartitioned it runs on a single task
+    # (measured 6.3-6.7 s of the 5.6-8.5 s total at sf1, round 6)
+    d = _docs_wide(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 29 == 0)
     corpus = d.filter(F.col("doc_id") % 29 != 0)
     _, contaminated = decontaminate(corpus, bench, n=4)
@@ -877,6 +889,9 @@ SQL_DOC_FINGERPRINT = """
 
 
 def q_dedup_exact(spark, sf_dir):
+    # stays on the raw scan: an explicit fan-out was A/B-measured flat
+    # at sf1 (0.69 -> 0.78 s) — the groupBy exchange already spreads the
+    # agg, and the md5 projection is too cheap to justify a shuffle
     d = _t(spark, sf_dir, "documents")
     return DD.exact_dedup(d)
 
@@ -930,6 +945,8 @@ SQL_NGRAM_JACCARD = """
 def q_ann_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # stays on the raw scan: a fan-out repartition was A/B-measured flat
+    # at sf1 (0.53 -> 0.54 s) — the 16-dim fold is too cheap to shuffle for
     return SIM.cosine_topk(emb, qv, k=10).select("vec_id", "score")
 
 
@@ -1295,7 +1312,9 @@ def q_dedup_components(spark, sf_dir):
     selection was the only pytest-only batch operator)."""
     d = _docs_wide(spark, sf_dir)
     pairs = DD.ngram_jaccard_pairs(d, n=3, threshold=0.5)
-    comp = DD.dedup_components(d, pairs)
+    # comp is read twice below (the reps window join + the final join);
+    # uncached each read re-runs the docs distinct + singleton attach
+    comp = register(DD.dedup_components(d, pairs).cache())
     scored = d.select("doc_id", TXT.token_count(F.col("text")).alias("n_tok"))
     reps = DD.select_representatives(scored, comp, score_col="n_tok")
     return comp.join(
@@ -1694,8 +1713,14 @@ def q_multimodal_ann(spark, sf_dir):
     planted = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "payload"
     )
-    aug = d.unionByName(planted).withColumn(
-        "doc_key", F.col("doc_id").cast("string")
+    # ONE fan-out exchange after the union (the sf documents table is a
+    # single parquet split — without it the whole mapInPandas decode
+    # runs in one Python worker; a repartition inside `d` would run
+    # twice, once per union branch, PLANS §13)
+    aug = (
+        d.unionByName(planted)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("doc_key", F.col("doc_id").cast("string"))
     )
     meta = decode_media(aug, id_col="doc_key", bytes_col="payload", kind="image")
     feats = meta.select(

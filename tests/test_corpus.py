@@ -44,12 +44,16 @@ def test_components_no_pairs_all_singletons(spark):
 
 
 def test_components_nonconvergence_raises(spark):
+    # local_edges_threshold=0 pins the DISTRIBUTED loop (the round-6
+    # size gate would otherwise solve 7 edges on the driver)
     docs = _docs(spark, [(i, f"t{i}") for i in range(8)])
     pairs = _docs(spark, [(i, i + 1) for i in range(7)], cols=("id_a", "id_b"))
     with pytest.raises(RuntimeError, match="converge"):
-        D.dedup_components(docs, pairs, max_iters=2)
+        D.dedup_components(docs, pairs, max_iters=2, local_edges_threshold=0)
     got = {r["doc_id"]: r["component_id"]
-           for r in D.dedup_components(docs, pairs, max_iters=10).collect()}
+           for r in D.dedup_components(
+               docs, pairs, max_iters=10, local_edges_threshold=0
+           ).collect()}
     assert set(got.values()) == {0}
 
 
@@ -156,9 +160,17 @@ def test_components_match_union_find(spark, graph):
         if edges
         else _docs(spark, [(0, 1)], cols=("id_a", "id_b")).filter("id_a < 0")
     )
-    got = {r["doc_id"]: r["component_id"]
-           for r in D.dedup_components(docs, pairs).collect()}
-    assert got == want
+    # BOTH regimes must match the reference union-find: the round-6
+    # driver-local gate (default threshold takes it here) and the
+    # distributed loop (forced via threshold=0)
+    got_local = {r["doc_id"]: r["component_id"]
+                 for r in D.dedup_components(docs, pairs).collect()}
+    got_dist = {r["doc_id"]: r["component_id"]
+                for r in D.dedup_components(
+                    docs, pairs, local_edges_threshold=0
+                ).collect()}
+    assert got_local == want
+    assert got_dist == want
 
 
 @st.composite
@@ -284,7 +296,9 @@ def test_components_long_chain_converges_via_pointer_jump(spark):
     docs = _docs(spark, [(i, f"t{i}") for i in range(200)])
     pairs = _docs(spark, [(i, i + 1) for i in range(199)], cols=("id_a", "id_b"))
     got = {r["doc_id"]: r["component_id"]
-           for r in D.dedup_components(docs, pairs).collect()}
+           for r in D.dedup_components(
+               docs, pairs, local_edges_threshold=0
+           ).collect()}
     assert len(got) == 200 and set(got.values()) == {0}
 
 

@@ -189,3 +189,23 @@ def test_ambiguous_case_insensitive_root_raises(spark):
     schema = summarize_schema(cols_df, ind_df)
     with pytest.raises(ValueError, match="case-insensitively"):
         build_traces_df(events, schema, '"system"."t"', False, 4).collect()
+
+
+def test_root_cases_table_cardinality_guard(spark, monkeypatch):
+    """tables=None derives the name set from a distinct scan; a
+    pathological input with more distinct table_ids than the guard must
+    raise fast instead of collecting unbounded rows to the driver
+    (round-5 VERDICT minor #3; same limit(N+1) pattern as
+    reference_trace_order)."""
+    from redo_log_parser_spark.operators import traces as T
+
+    monkeypatch.setattr(T, "MAX_ROOT_TABLES", 5)
+    events = spark.range(20).selectExpr(
+        "concat('\"S\".\"T', cast(id as string), '\"') as table_id",
+        "cast(id as string) as row_id",
+    )
+    with pytest.raises(ValueError, match="distinct table_ids"):
+        T.root_cases(events, '"S"."T0"')
+    # explicit tables bypasses the derivation and still works
+    got = T.root_cases(events, '"S"."T0"', tables=['"S"."T0"']).collect()
+    assert [r["case_id"] for r in got] == ["0"]

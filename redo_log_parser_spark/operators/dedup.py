@@ -179,19 +179,30 @@ def ngram_jaccard_pairs(
     base = with_shingle_set(docs, n, text_col).select(id_col, "shs")
 
     def _index(frame: DataFrame) -> DataFrame:
-        ix = frame.select(F.col(id_col), F.explode("shs").alias("shingle"))
+        # n_sh rides ON the index rows (one long per row) so the join
+        # below can length-filter candidates BEFORE they reach the pair
+        # aggregation — see the filter derivation there
+        ix = frame.select(
+            F.col(id_col),
+            F.size("shs").alias("n_sh"),
+            F.explode("shs").alias("shingle"),
+        )
         if hash_index:
             # hash AFTER the explode: a plain codegen'd projection, not
             # an interpreted transform() inside the array
-            ix = ix.select(id_col, F.xxhash64("shingle").alias("shingle"))
+            ix = ix.select(
+                id_col, "n_sh", F.xxhash64("shingle").alias("shingle")
+            )
         return ix
 
     if max_df is not None:
         # base is consumed once here (retained-set sizes come from the
         # post-drop index) — caching it would pin every doc's shingle
         # array for zero reuse; cache the filtered index instead
-        sh = register(_drop_hot_shingles(_index(base), max_df).cache())
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        ix0 = _index(base).drop("n_sh")  # n must be the RETAINED size
+        sh0 = register(_drop_hot_shingles(ix0, max_df).cache())
+        sizes = sh0.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        sh = sh0.join(sizes, id_col)
     else:
         # read twice: the index explode and sizes
         base = register(base.cache())
@@ -199,9 +210,26 @@ def ngram_jaccard_pairs(
         sizes = base.select(id_col, F.size("shs").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
+    t = float(threshold)
+    # EXACT candidate pruning (round 6, guide §2.3 "shuffle fewer
+    # bytes" / §1.2 "the distributed algorithm"):
+    #   jaccard = c/(n_a+n_b-c) >= t  and  c <= min(n_a, n_b)
+    #   =>  t*max(n_a, n_b) <= min(n_a, n_b)        (length filter)
+    # so size-incompatible candidates are dropped INSIDE the join,
+    # before the pair aggregation ever sees them (~24% of candidate
+    # events on the bench corpus at t=0.5). The 1e-9 slack guards the
+    # boundary against float rounding of t*max — it can only let a
+    # non-qualifying pair THROUGH to the exact final filter, never
+    # drop a qualifying one.
     common = (
         a.join(b, "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * F.lit(t)
+                <= F.least(F.col("a.n_sh"), F.col("b.n_sh")) + F.lit(1e-9)
+            )
+        )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
@@ -209,8 +237,13 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # Second exact-necessary prune between the size joins: c <= n_b
+    # always, so c(1+t) >= t(n_a+n_b) requires c >= t*n_a. On the bench
+    # corpus this collapses the second size join's input from ~10^8
+    # aggregated pairs (most share ONE shingle) to <10^6.
     return (
         common.join(sz_a, "id_a")
+        .filter(F.col("n_common") + F.lit(1e-9) >= F.col("n_a") * F.lit(t))
         .join(sz_b, "id_b")
         .withColumn(
             "jaccard",

@@ -873,14 +873,38 @@ def select_representatives(
     corpus-quality move. Returns (id_col, component_id, score_col) of
     the kept docs — anti-join the rest away or semi-join to filter.
 
-    One shuffle: a row_number window partitioned by component_id (no
-    global sort; near-dup components are small — the same per-group
-    pattern as stratified_sample). Singleton components pass through
-    unchanged."""
+    Shuffle shape (round 6, guide §2.3 "aggregate before you shuffle"):
+    when BOTH score and id are integral, the pick is a max_by
+    aggregation ordered by (score, ~id) — bitwise NOT is a total,
+    strictly decreasing bigint map (no MIN_VALUE negation overflow), so
+    max score wins with ties to the SMALLEST id, identical to the
+    window. A partial+final agg ships one candidate row per component
+    per map task; the window fallback (any orderable types) ships and
+    sorts every row. Singleton components pass through unchanged."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    scored = docs.select(id_col, score_col).join(components, id_col)
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    if isinstance(scored.schema[score_col].dataType, integral) and isinstance(
+        scored.schema[id_col].dataType, integral
+    ):
+        picked = scored.groupBy("component_id").agg(
+            F.max_by(
+                F.struct(F.col(id_col), F.col(score_col)),
+                F.struct(
+                    F.col(score_col),
+                    F.bitwise_not(F.col(id_col).cast("long")),
+                ),
+            ).alias("__best")
+        )
+        return picked.select(
+            F.col(f"__best.{id_col}").alias(id_col),
+            "component_id",
+            F.col(f"__best.{score_col}").alias(score_col),
+        )
     w = Window.partitionBy("component_id").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    scored = docs.select(id_col, score_col).join(components, id_col)
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)

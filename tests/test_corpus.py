@@ -78,6 +78,25 @@ def test_select_representatives_best_quality_wins(spark):
     assert [(r["doc_id"], r["component_id"]) for r in kept] == [(7, 7)]
 
 
+def test_select_representatives_agg_path_matches_window(spark):
+    """Integral (score, id) takes the max_by-aggregation regime (round
+    6); float score takes the row_number window. Same graph through
+    both must pick identical representatives, including score ties →
+    smallest id and negative ids (the bitwise-NOT desc ordering)."""
+    rows = [(-3, "a", 5), (-1, "b", 5), (2, "c", 4),   # tie at 5 → -3
+            (10, "d", 7), (11, "e", 9),                # clear max → 11
+            (20, "f", 0)]                              # singleton
+    docs_int = _docs(spark, rows, cols=("doc_id", "text", "score"))
+    comps = _docs(spark, [(-3, -3), (-1, -3), (2, -3), (10, 10), (11, 10),
+                          (20, 20)], cols=("doc_id", "component_id"))
+    agg = {(r["component_id"], r["doc_id"], r["score"])
+           for r in D.select_representatives(docs_int, comps, "score").collect()}
+    docs_f = docs_int.withColumn("score", F.col("score").cast("double"))
+    win = {(r["component_id"], r["doc_id"], int(r["score"]))
+           for r in D.select_representatives(docs_f, comps, "score").collect()}
+    assert agg == win == {(-3, -3, 5), (10, 11, 9), (20, 20, 0)}
+
+
 def test_hash_sample_deterministic_and_content_keyed(spark):
     rows = [(i, f"document number {i} with words") for i in range(200)]
     rows += [(1000, rows[0][1])]  # exact dup of doc 0's content

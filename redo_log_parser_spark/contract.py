@@ -166,12 +166,12 @@ def q_route_counts(spark, sf_dir):
     # column regardless — PLANS §14). Parity with the pandas byte-parity
     # kernel is pinned by tests/test_parse_hostile.py + the fuzz sweeps;
     # the parse_* queries keep the pandas kernel as the parse oracle.
-    # The repartition = parse parallelism on the coalesced synth union +
-    # the PLANS §10 projection barrier (keeps the synthetic text concat
-    # out of the parser's regexp trees).
-    docs = synth_mixed_docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism * 2
-    )
+    # No post-synth repartition (round 6): synth's narrow orders
+    # exchange already spreads the explode+parse evenly over all cores,
+    # so repartitioning the EXPLODED frame only re-shuffled ~375 MB of
+    # full-text rows for a 32→64 task split — interleaved A/B at sf1:
+    # 3.4-4.6 s with vs 2.3-3.1 s without.
+    docs = synth_mixed_docs(spark, sf_dir)
     parsed = parse_documents_sql(docs, keep_cols=("url", "warc_ts", "okey"))
     return parsed.groupBy("op").agg(F.count("*").alias("n")).select("op", "n")
 

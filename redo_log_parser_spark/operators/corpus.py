@@ -204,13 +204,25 @@ def ngram_keys(toks: Column, n: int = 13) -> Column:
     are interpreted (not codegen'd), and an inline tokenize subtree
     gets re-evaluated per gram position — measured 9x slower at sf0.1.
     Materialize functions/text.tokens(text) as a named column first
-    (decontaminate does)."""
+    (decontaminate does).
+
+    The key is the MULTI-ARG xxhash64 of the n tokens (round 6): `n` is
+    a Python int, so the window unrolls to n element_at calls — no
+    per-gram slice array allocation, no concat string build (interleaved
+    sf1 A/B: 0.99-1.27 → 0.53-0.72 s for the corpus gram build). Seed
+    chaining makes the multi-arg hash injective over token BOUNDARIES
+    (("ab","c") and ("a","bc") hash differently), so matching semantics
+    are unchanged: equal token sequences ⇔ equal keys, same ~2^-64
+    collision class as before. Keys are internal to decontaminate (both
+    sides derive them identically); only doc-id sets ever leave."""
     m = F.size(toks) - (n - 1)
     return F.when(
         m >= 1,
         F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.xxhash64(
+                *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 

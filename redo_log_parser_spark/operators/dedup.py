@@ -72,12 +72,19 @@ def with_shingle_set(
     base = docs.withColumn("__tk", tokens(F.lower(F.col(text_col))))
     toks = F.col("__tk")
     # guard: sequence(0, -1) DESCENDS in Spark — a doc with fewer than n
-    # tokens must yield an empty shingle list, not invalid slice starts
+    # tokens must yield an empty shingle list, not invalid slice starts.
+    # n is a Python int, so the window unrolls to n element_at calls —
+    # identical strings to array_join(slice(...)) (concat_ws joins the
+    # same non-null tokens with the same separator) without the
+    # per-shingle slice array allocation (round 6; same A/B family as
+    # corpus.ngram_keys: ~40% off the interpreted transform).
     sh = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return base.withColumn(out_col, F.array_distinct(sh)).drop("__tk")

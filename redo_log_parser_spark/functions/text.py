@@ -136,11 +136,17 @@ def dup_ngram_fraction(toks: Column, n: int = 2) -> Column:
     first (operators/corpus.repetition_stats does)."""
     # guard: sequence(0, -1) DESCENDS in Spark, so short/empty docs must
     # short-circuit to an empty gram list instead
+    # n is a Python int: unroll the window to n element_at calls —
+    # identical strings to array_join(slice(...)), no per-gram slice
+    # array allocation (round 6; measured on the shingle twin:
+    # 1.19-1.82 → 0.58-0.69 s at sf1)
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     # LET-BIND the gram array (PLANS §16): the ratio references it
